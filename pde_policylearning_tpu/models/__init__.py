@@ -1,0 +1,20 @@
+from .dispatcher import MODEL_ZOO, available_models, dispatch_model, get_model
+from .fno import (FNO, FNO1d, FNO2d, FNO3d, TFNO, TFNO1d, TFNO2d, TFNO3d,
+                  FNOBlocks)
+from .layers import (AdaIN, ChannelMLP, GroupNorm, Lifting, Projection,
+                     SkipConnection, SoftGating, instance_norm)
+from .observers import FNO2dObserver, RNO2dObserver, UNet, make_grid
+from .rno import (RNO2d, RNOCell, RNOLayer, RNOSpectralConv2d,
+                  SpectralConvWithFC, SpectralRegressor)
+from .spectral_layers import SpectralConv
+
+__all__ = [
+    "MODEL_ZOO", "available_models", "dispatch_model", "get_model",
+    "FNO", "FNO1d", "FNO2d", "FNO3d", "TFNO", "TFNO1d", "TFNO2d", "TFNO3d",
+    "FNOBlocks", "SpectralConv",
+    "AdaIN", "ChannelMLP", "GroupNorm", "Lifting", "Projection",
+    "SkipConnection", "SoftGating", "instance_norm",
+    "FNO2dObserver", "RNO2dObserver", "UNet", "make_grid",
+    "RNO2d", "RNOCell", "RNOLayer", "RNOSpectralConv2d",
+    "SpectralConvWithFC", "SpectralRegressor",
+]

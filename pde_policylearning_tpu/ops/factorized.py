@@ -141,6 +141,36 @@ def init_factorized(key, shape: Sequence[int], factorization: str = "dense",
     raise ValueError(f"Unknown factorization: {factorization!r}")
 
 
+def take_layer(params: dict, index: int) -> dict:
+    """For jointly-factorized weights whose dense shape has a leading layer
+    axis (reference: joint_factorization, spectral_convolution.py:252-257):
+    return the weight pytree of sub-tensor `index`.
+
+    dense: slice the tensor; tucker/cp: slice the first factor's rows and
+    keep the rest shared; tt: slice the first factor's middle axis."""
+    kind = factorization_of(params)
+    if kind == "dense":
+        return {"tensor": params["tensor"][:, index]}
+    if kind == "tucker":
+        f0 = params["factors"][0]
+        # contract the selected row of the first factor into the core
+        core = as_complex(params["core"])
+        row = as_complex(f0)[index]  # (r0,)
+        new_core = jnp.tensordot(row, core, axes=[[0], [0]])
+        return {"core": jnp.stack([new_core.real, new_core.imag]),
+                "factors": list(params["factors"][1:])}
+    if kind == "cp":
+        f0 = as_complex(params["factors"][0])[index]  # (R,)
+        lam = as_complex(params["lambda"]) * f0
+        return {"lambda": jnp.stack([lam.real, lam.imag]),
+                "factors": list(params["factors"][1:])}
+    f0 = as_complex(params["factors"][0])[:, index, :]  # (r0, r1) with r0=1
+    f1 = as_complex(params["factors"][1])
+    merged = jnp.einsum("ab,bsc->asc", f0, f1)
+    return {"factors": [jnp.stack([merged.real, merged.imag])]
+            + list(params["factors"][2:])}
+
+
 def factorization_of(params: dict) -> str:
     if "tensor" in params:
         return "dense"

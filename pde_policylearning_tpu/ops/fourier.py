@@ -136,6 +136,13 @@ def spectral_conv_nd(
     """
     order = len(half_modes)
     spatial = x.shape[1:1 + order]
+    for k, (m, size) in enumerate(zip(half_modes, spatial)):
+        limit = size // 2 + 1 if k == order - 1 else size // 2
+        if m > limit:
+            raise ValueError(
+                f"half_modes[{k}]={m} exceeds the available spectrum for "
+                f"spatial size {size} (max {limit}); lower n_modes or raise "
+                "the resolution")
     fft_axes = tuple(range(1, 1 + order))
     in_dtype = x.dtype
     if in_dtype not in (jnp.float32, jnp.float64):
