@@ -1,0 +1,439 @@
+"""Turbulent channel-flow DNS core: staggered-grid RK3 + FFT-Poisson projection.
+
+reference: libs/envs/control_env.py (compute_rhs_py:429, time_advance_RK3_py:533,
+compute_projection_step:582, compute_pressure_py:196) and the MATLAB originals
+in libs/matlab_codes/ (main.m grid/wavenumbers/DD construction:40-75).
+
+TPU re-design decisions:
+* All per-y-row Python loops in the reference become whole-array ops with
+  precomputed metric arrays broadcast along y.
+* The projection's Poisson solve — 1024 independent (Ny-1)x(Ny-1) dense
+  solves in a Python double loop (control_env.py:593-602) — becomes ONE
+  batched matmul against precomputed inverses `Pinv[(kx,kz)]`, using rfft
+  along z so only Nz//2+1 columns are solved.  Optional iterative-refinement
+  steps recover f64-grade residuals in f32 (TPU has no native f64).
+* Everything is a pure function of (grid, state) pytrees -> jit/scan/vmap
+  compose; the whole RK3 step (3x rhs + 3x projection + metrics) compiles
+  into a single XLA executable with no host sync.
+
+Staggered layout (y-axis):
+  y  (Ny,)   wall-normal face coordinates in [0, 2]  (walls at 0 and 2)
+  ym (Ny-1,) cell centers;  yg (Ny+1,) ghost-extended centers
+  U, W: (Nx, Ny+1, Nz) at centers + 2 ghost rows;  V: (Nx, Ny, Nz) at faces.
+x/z are periodic with uniform spacing dx = Lx/Nx, dz = Lz/Nz.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class ChannelGrid:
+    """Static grid geometry + precomputed solver operators (pytree)."""
+    y: jnp.ndarray      # (Ny,)
+    ym: jnp.ndarray     # (Ny-1,)
+    yg: jnp.ndarray     # (Ny+1,)
+    kxx: jnp.ndarray    # (Nx,) modified wavenumbers -kx^2
+    kzz: jnp.ndarray    # (Nz,)
+    Pinv: jnp.ndarray   # (Nx, Nz//2+1, Ny-1, Ny-1) inverse Poisson operators
+    DD_diag: jnp.ndarray  # (Ny-1,) tridiagonal Poisson operator (for refine)
+    DD_lower: jnp.ndarray  # (Ny-2,)
+    DD_upper: jnp.ndarray  # (Ny-2,)
+    dx: float = struct.field(pytree_node=False)
+    dz: float = struct.field(pytree_node=False)
+    dt: float = struct.field(pytree_node=False)
+    nu: float = struct.field(pytree_node=False)
+    Nx: int = struct.field(pytree_node=False)
+    Ny: int = struct.field(pytree_node=False)
+    Nz: int = struct.field(pytree_node=False)
+    refine_steps: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class ChannelState:
+    U: jnp.ndarray      # (Nx, Ny+1, Nz)
+    V: jnp.ndarray      # (Nx, Ny,   Nz)
+    W: jnp.ndarray      # (Nx, Ny+1, Nz)
+    dPdx: jnp.ndarray   # scalar, running reverse-calculated pressure gradient
+    meanU0: jnp.ndarray  # scalar, target bulk velocity for mass-flow control
+
+
+DEFAULT_NU = 1.0 / 3250.0          # main.m:11
+DEFAULT_DPDX = 0.57231059e-1 ** 2  # main.m:12 (utau^2)
+
+
+def make_channel_grid(Nx: int = 32, Ny: int = 130, Nz: int = 32,
+                      Lx: float = 2 * math.pi, Lz: float = 2 * math.pi,
+                      stretch: float = 2.6,
+                      nu: float = DEFAULT_NU, dt: float = 1e-3,
+                      y: Optional[np.ndarray] = None,
+                      dtype=jnp.float32,
+                      refine_steps: Optional[int] = None) -> ChannelGrid:
+    """Build the grid + precomputed Poisson inverses.
+
+    Default geometry follows the commented canonical construction in
+    main.m:20-24: uniform periodic x/z, tanh-stretched y:
+    ``y = 1 + tanh(s * linspace(-1,1,Ny)) / tanh(s)``.
+    A `y` array may be passed instead (e.g. loaded from a checkpoint/.mat).
+    """
+    dx = Lx / Nx
+    dz = Lz / Nz
+    if y is None:
+        y = 1.0 + np.tanh(stretch * np.linspace(-1, 1, Ny)) / np.tanh(stretch)
+    y = np.asarray(y, np.float64).reshape(-1)
+    Ny = len(y)
+    ym = 0.5 * (y[:-1] + y[1:])
+    yg = np.concatenate([[-ym[0]], ym, [2.0 + ym[0]]])
+
+    # modified wavenumbers (main.m:43-57 / control_env.py:54-64)
+    k = np.arange(Nx)
+    k = np.where(k <= Nx // 2, k, k - Nx)
+    kxx = 2.0 * (np.cos(2 * np.pi * k / Nx) - 1.0) / dx ** 2
+    kz = np.arange(Nz)
+    kz = np.where(kz <= Nz // 2, kz, kz - Nz)
+    kzz = 2.0 * (np.cos(2 * np.pi * kz / Nz) - 1.0) / dz ** 2
+
+    # wall-normal Poisson operator DD (main.m:60-72 / control_env.py:66-77)
+    n = Ny - 1
+    diag = np.zeros(n)
+    for j in range(n):
+        diag[j] = -1.0 / (y[j + 1] - y[j]) * (
+            1.0 / (yg[j + 2] - yg[j + 1]) + 1.0 / (yg[j + 1] - yg[j]))
+    lower = np.zeros(n - 1)
+    upper = np.zeros(n - 1)
+    for j in range(n - 1):
+        lower[j] = 1.0 / (y[j + 2] - y[j + 1]) / (yg[j + 2] - yg[j + 1])
+        upper[j] = 1.0 / (y[j + 1] - y[j]) / (yg[j + 2] - yg[j + 1])
+    diag[0] += 1.0 / (y[1] - y[0]) / (yg[1] - yg[0])
+    diag[-1] += 1.0 / (y[n] - y[n - 1]) / (yg[n + 1] - yg[n])
+    DD = np.diag(diag) + np.diag(lower, -1) + np.diag(upper, 1)
+
+    # Precompute the inverse of (DD + (kxx+kzz) I) for every retained
+    # wavenumber pair; z uses rfft so only Nz//2+1 columns appear.
+    Nzr = Nz // 2 + 1
+    eye = np.eye(n)
+    kk = kxx[:, None] + kzz[None, :Nzr]          # (Nx, Nzr)
+    D = DD[None, None] + kk[:, :, None, None] * eye[None, None]
+    D[0, 0, 0, 0] *= 1.5                          # regularize the mean mode
+    Pinv = np.linalg.inv(D.reshape(-1, n, n)).reshape(Nx, Nzr, n, n)
+
+    if refine_steps is None:
+        refine_steps = 0 if dtype == jnp.float64 else 1
+    as_dt = lambda a: jnp.asarray(a, dtype)
+    return ChannelGrid(
+        y=as_dt(y), ym=as_dt(ym), yg=as_dt(yg),
+        kxx=as_dt(kxx), kzz=as_dt(kzz),
+        Pinv=as_dt(Pinv),
+        DD_diag=as_dt(diag), DD_lower=as_dt(lower), DD_upper=as_dt(upper),
+        dx=float(dx), dz=float(dz), dt=float(dt), nu=float(nu),
+        Nx=Nx, Ny=Ny, Nz=Nz, refine_steps=int(refine_steps),
+    )
+
+
+# ---------------------------------------------------------------------------
+# helper rolls: periodic shifts along x (axis -3) and z (axis -1)
+# ---------------------------------------------------------------------------
+
+def _xm(a):  # a[i-1] in x
+    return jnp.roll(a, 1, axis=-3)
+
+
+def _xp(a):  # a[i+1] in x
+    return jnp.roll(a, -1, axis=-3)
+
+
+def _zm(a):
+    return jnp.roll(a, 1, axis=-1)
+
+
+def _zp(a):
+    return jnp.roll(a, -1, axis=-1)
+
+
+def _pad_y(a, before, after):
+    return jnp.pad(a, ((0, 0), (before, after), (0, 0)))
+
+
+def apply_boundary_condition(U, V, W, Vw1, Vw2):
+    """No-slip walls via antisymmetric ghost rows for U/W; wall-normal
+    actuation Vw1/Vw2 on the V wall faces (control_env.py:10-19)."""
+    U = U.at[:, 0, :].set(-U[:, 1, :])
+    U = U.at[:, -1, :].set(-U[:, -2, :])
+    V = V.at[:, 0, :].set(Vw1)
+    V = V.at[:, -1, :].set(Vw2)
+    W = W.at[:, 0, :].set(-W[:, 1, :])
+    W = W.at[:, -1, :].set(-W[:, -2, :])
+    return U, V, W
+
+
+def compute_rhs(grid: ChannelGrid, U, V, W, dPdx):
+    """Momentum RHS Fu, Fv, Fw (convection + diffusion + forcing).
+
+    Vectorized equivalent of control_env.py:429-530; the reference's
+    `for i in range(1, Ny)` row loops become diffs against precomputed
+    y-metric arrays padded back onto the ghost rows.
+    """
+    dx, dz, nu = grid.dx, grid.dz, grid.nu
+    y, ym, yg = grid.y, grid.ym, grid.yg
+    dyf = (y[1:] - y[:-1])[None, :, None]     # (1, Ny-1, 1) face spacing
+    dyg = (yg[1:] - yg[:-1])[None, :, None]   # (1, Ny,   1) center spacing
+    dym = (ym[1:] - ym[:-1])[None, :, None]   # (1, Ny-2, 1)
+
+    # ---- Fu --------------------------------------------------------------
+    UU = (0.5 * (U + _xp(U))) ** 2
+    Fu = -(UU - _xm(UU)) / dx
+    UV = (0.5 * (V + _xm(V))) * (0.5 * (U[:, :-1] + U[:, 1:]))  # (Nx,Ny,Nz)
+    Fu = Fu - _pad_y((UV[:, 1:] - UV[:, :-1]) / dyf, 1, 1)
+    UW = (0.5 * (W + _xm(W))) * (0.5 * (U + _zm(U)))
+    Fu = Fu - (_zp(UW) - UW) / dz
+    Fu = Fu + nu * (_xp(U) - 2 * U + _xm(U)) / dx ** 2
+    dU = (U[:, 1:] - U[:, :-1]) / dyg                            # (Nx,Ny,Nz)
+    Fu = Fu + _pad_y(nu * (dU[:, 1:] - dU[:, :-1]) / dyf, 1, 1)
+    Fu = Fu + nu * (_zp(U) - 2 * U + _zm(U)) / dz ** 2
+    Fu = Fu + dPdx / 2
+
+    # ---- Fv --------------------------------------------------------------
+    Fv = -(_xp(UV) - UV) / dx
+    VV = (0.5 * (V[:, :-1] + V[:, 1:])) ** 2                     # (Nx,Ny-1,Nz)
+    Fv = Fv - _pad_y((VV[:, 1:] - VV[:, :-1]) / dym, 1, 1)
+    VW = (0.5 * (V + _zm(V))) * (0.5 * (W[:, :-1] + W[:, 1:]))   # (Nx,Ny,Nz)
+    Fv = Fv - (_zp(VW) - VW) / dz
+    Fv = Fv + nu * (_xp(V) - 2 * V + _xm(V)) / dx ** 2
+    dV = (V[:, 1:] - V[:, :-1]) / dyf                            # (Nx,Ny-1,Nz)
+    Fv = Fv + _pad_y(nu * (dV[:, 1:] - dV[:, :-1]) / dym, 1, 1)
+    Fv = Fv + nu * (_zp(V) - 2 * V + _zm(V)) / dz ** 2
+
+    # ---- Fw --------------------------------------------------------------
+    Fw = -(_xp(UW) - UW) / dx
+    Fw = Fw - _pad_y((VW[:, 1:] - VW[:, :-1]) / dyf, 1, 1)
+    WW = (0.5 * (W + _zp(W))) ** 2
+    Fw = Fw - (WW - _zm(WW)) / dz
+    Fw = Fw + nu * (_xp(W) - 2 * W + _xm(W)) / dx ** 2
+    dW = (W[:, 1:] - W[:, :-1]) / dyg
+    Fw = Fw + _pad_y(nu * (dW[:, 1:] - dW[:, :-1]) / dyf, 1, 1)
+    Fw = Fw + nu * (_zp(W) - 2 * W + _zm(W)) / dz ** 2
+    return Fu, Fv, Fw
+
+
+def divergence(grid: ChannelGrid, U, V, W):
+    """Cell-centered divergence, shape (Nx, Ny-1, Nz)
+    (control_env.py:186-194 / :583-589)."""
+    dyf = (grid.y[1:] - grid.y[:-1])[None, :, None]
+    Ui = U[:, 1:-1]
+    Wi = W[:, 1:-1]
+    ux = (_xp(Ui) - Ui) / grid.dx
+    uy = (V[:, 1:] - V[:, :-1]) / dyf
+    uz = (_zp(Wi) - Wi) / grid.dz
+    return ux + uy + uz
+
+
+def _tridiag_apply(grid: ChannelGrid, kk, p_hat):
+    """(DD + kk I) @ p_hat along the y axis; p_hat (Nx, n, Nzr) complex,
+    kk (Nx, 1, Nzr)."""
+    d = grid.DD_diag[None, :, None] + kk
+    lo = grid.DD_lower[None, :, None]
+    up = grid.DD_upper[None, :, None]
+    out = d * p_hat
+    out = out.at[:, 1:, :].add(lo * p_hat[:, :-1, :])
+    out = out.at[:, :-1, :].add(up * p_hat[:, 1:, :])
+    return out
+
+
+def poisson_solve(grid: ChannelGrid, rhs):
+    """Solve (d_yy + kxx + kzz) p = rhs with rfft over z, fft over x and the
+    precomputed batched inverse over y.
+
+    Replaces the reference's Python double loop of dense solves
+    (control_env.py:593-602) with one einsum on the MXU.
+    """
+    rhs_hat = jnp.fft.fft(jnp.fft.rfft(rhs, axis=2), axis=0)  # (Nx, n, Nzr)
+    p_hat = jnp.einsum("xzab,xbz->xaz", grid.Pinv, rhs_hat)
+    if grid.refine_steps:
+        Nzr = grid.Nz // 2 + 1
+        kk = (grid.kxx[:, None, None]
+              + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
+        # the regularized mean mode uses 1.5*D[0,0] (control_env.py:598-599)
+        for _ in range(grid.refine_steps):
+            r = rhs_hat - _tridiag_apply(grid, kk, p_hat)
+            r = r.at[0, 0, 0].add(-0.5 * grid.DD_diag[0] * p_hat[0, 0, 0])
+            p_hat = p_hat + jnp.einsum("xzab,xbz->xaz", grid.Pinv, r)
+    return jnp.fft.irfft(jnp.fft.ifft(p_hat, axis=0), n=grid.Nz, axis=2)
+
+
+def projection_step(grid: ChannelGrid, U, V, W):
+    """Pressure projection: make the velocity field divergence-free
+    (control_env.py:582-613)."""
+    p = poisson_solve(grid, divergence(grid, U, V, W))
+    dym = (grid.ym[1:] - grid.ym[:-1])[None, :, None]
+    U = U.at[:, 1:-1].add(-(p - _xm(p)) / grid.dx)
+    V = V.at[:, 1:-1].add(-(p[:, 1:] - p[:, :-1]) / dym)
+    W = W.at[:, 1:-1].add(-(p - _zm(p)) / grid.dz)
+    return U, V, W
+
+
+def calculate_mean_u(grid: ChannelGrid, U):
+    """Bulk velocity by trapezoidal integration of the mean profile
+    (control_env.py:249-259)."""
+    profile = jnp.mean(U[:, 1:-1, :], axis=(0, 2))
+    zero = jnp.zeros((1,), U.dtype)
+    vals = jnp.concatenate([zero, profile, zero])
+    ys = jnp.concatenate([zero, grid.ym.astype(U.dtype),
+                          jnp.full((1,), 2.0, U.dtype)])
+    return jnp.trapezoid(vals, ys) / 2.0
+
+
+def compute_pressure(grid: ChannelGrid, state: ChannelState):
+    """Observation pressure field from the RHS divergence
+    (control_env.py:196-229)."""
+    Fu, Fv, Fw = compute_rhs(grid, state.U, state.V, state.W, state.dPdx)
+    dyf = (grid.y[1:] - grid.y[:-1])[None, :, None]
+    fx = (_xp(Fu[:, 1:-1]) - Fu[:, 1:-1]) / grid.dx
+    fy = (Fv[:, 1:] - Fv[:, :-1]) / dyf
+    fz = (_zp(Fw[:, 1:-1]) - Fw[:, 1:-1]) / grid.dz
+    return poisson_solve(grid, fx + fy + fz)
+
+
+def boundary_pressures(grid: ChannelGrid, state: ChannelState):
+    """(p1, p2) bottom/top wall pressures (control_env.py:423-427)."""
+    P = compute_pressure(grid, state)
+    p1 = -0.5 * (P[:, 0, :] + P[:, 1, :])
+    p2 = -0.5 * (P[:, -1, :] + P[:, -2, :])
+    return p1, p2
+
+
+def rk3_step(grid: ChannelGrid, state: ChannelState, opV1, opV2
+             ) -> ChannelState:
+    """One RK3 substep triple + mass-flow correction
+    (control_env.py:533-580)."""
+    dt = grid.dt
+    U0, V0, W0 = state.U, state.V, state.W
+    dPdx = state.dPdx
+
+    def substage(U, V, W, coeffs, Fus):
+        Fu, Fv, Fw = compute_rhs(grid, U, V, W, dPdx)
+        Fus_new = Fus + [(Fu, Fv, Fw)]
+        Un = U0 + dt * sum(c * f[0] for c, f in zip(coeffs, Fus_new))
+        Vn = V0 + dt * sum(c * f[1] for c, f in zip(coeffs, Fus_new))
+        Wn = W0 + dt * sum(c * f[2] for c, f in zip(coeffs, Fus_new))
+        Un, Vn, Wn = apply_boundary_condition(Un, Vn, Wn, opV1, opV2)
+        Un, Vn, Wn = projection_step(grid, Un, Vn, Wn)
+        Un, Vn, Wn = apply_boundary_condition(Un, Vn, Wn, opV1, opV2)
+        return Un, Vn, Wn, Fus_new
+
+    U, V, W, fs = substage(U0, V0, W0, [8 / 15], [])
+    U, V, W, fs = substage(U, V, W, [1 / 4, 5 / 12], fs[:1])
+    U, V, W, fs = substage(U, V, W, [1 / 4, 0.0, 3 / 4], fs[:1] + [fs[0]])
+
+    # mass-flow correction (control_env.py:574-579)
+    meanU_now = calculate_mean_u(grid, U)
+    d_new = 2.0 * (state.meanU0 - meanU_now)
+    U = U.at[:, 1:-1, :].add(d_new / 2.0)
+    dPdx_out = 0.5 * (dPdx + d_new / dt)
+    return state.replace(U=U, V=V, W=W, dPdx=dPdx_out)
+
+
+def init_state(grid: ChannelGrid, key=None, noise: float = 0.0,
+               dPdx: float = DEFAULT_DPDX,
+               U=None, V=None, W=None, dtype=None) -> ChannelState:
+    """Initial condition: laminar Poiseuille profile matching the forcing
+    (plus optional perturbation noise to trip turbulence), or explicit
+    fields (e.g. loaded from a .mat snapshot)."""
+    dtype = dtype or grid.y.dtype
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    if U is None:
+        yg = np.asarray(grid.yg, np.float64)
+        u_prof = dPdx / (2 * grid.nu) * yg * (2.0 - yg) / 2.0
+        U = jnp.broadcast_to(
+            jnp.asarray(u_prof, dtype)[None, :, None], (Nx, Ny + 1, Nz))
+        V = jnp.zeros((Nx, Ny, Nz), dtype)
+        W = jnp.zeros((Nx, Ny + 1, Nz), dtype)
+        if noise > 0 and key is not None:
+            ku, kv, kw = jax.random.split(key, 3)
+            U = U + noise * jax.random.normal(ku, U.shape, dtype)
+            V = V + noise * jax.random.normal(kv, V.shape, dtype)
+            W = W + noise * jax.random.normal(kw, W.shape, dtype)
+    else:
+        U = jnp.asarray(U, dtype)
+        V = jnp.asarray(V, dtype)
+        W = jnp.asarray(W, dtype)
+    state = ChannelState(
+        U=U, V=V, W=W,
+        dPdx=jnp.asarray(dPdx, dtype),
+        meanU0=jnp.asarray(0.0, dtype))
+    return state.replace(meanU0=calculate_mean_u(grid, U))
+
+
+# ---------------------------------------------------------------------------
+# scores / metrics (control_env.py:182-340)
+# ---------------------------------------------------------------------------
+
+def shear_stress(grid: ChannelGrid, state: ChannelState):
+    """|mean(-u_wall v_wall + nu dU/dy)| at the top wall
+    (control_env.py:292-303)."""
+    U, V = state.U, state.V
+    dudy = (U[:, -1, :] - U[:, -2, :]) / (grid.y[-1] - grid.y[-2])
+    tau = -U[:, -1, :] * V[:, -1, :] + grid.nu * dudy
+    return jnp.abs(jnp.mean(tau))
+
+
+def speed_norm(state: ChannelState):
+    return (jnp.linalg.norm(state.U) + jnp.linalg.norm(state.V)
+            + jnp.linalg.norm(state.W))
+
+
+def dpdx_finite_difference(grid: ChannelGrid, p2):
+    """Mean |dp/dx| of the top-wall pressure (control_env.py:240-247)."""
+    grad = (p2[1:, :] - p2[:-1, :]) / grid.dx
+    return jnp.abs(jnp.mean(jnp.abs(grad), axis=1).sum() / (p2.shape[0] - 1))
+
+
+def reward_divergence(grid: ChannelGrid, state: ChannelState,
+                      bound: float = -100.0):
+    div = divergence(grid, state.U, state.V, state.W)
+    return jnp.maximum(-jnp.abs(jnp.sum(div)), bound)
+
+
+def step_metrics(grid: ChannelGrid, state: ChannelState, p2):
+    """The drag-reduction scoreboard (control_env.py:651-661)."""
+    return {
+        "drag_reduction/1_shear_stress": shear_stress(grid, state),
+        "drag_reduction/2_1_mass_flow": calculate_mean_u(grid, state.U),
+        "drag_reduction/2_2_v_velocity": jnp.mean(jnp.abs(state.V)),
+        "drag_reduction/2_3_w_velocity": jnp.mean(jnp.abs(state.W)),
+        "drag_reduction/3_1_pressure_mean": jnp.mean(p2),
+        "drag_reduction/3_2_dPdx_finite_difference":
+            dpdx_finite_difference(grid, p2),
+        "drag_reduction/3_3_dPdx_reverse_cal": state.dPdx,
+        "drag_reduction/4_1_-|divergence|": reward_divergence(grid, state),
+        "drag_reduction/4_4_speed_norm": speed_norm(state),
+    }
+
+
+@partial(jax.jit, static_argnums=())
+def env_step(grid: ChannelGrid, state: ChannelState, opV1, opV2):
+    """Full environment step: advance + observe + score
+    (control_env.py:639-664).  Returns (state', p2, div_reward, info)."""
+    state = rk3_step(grid, state, opV1, opV2)
+    p1, p2 = boundary_pressures(grid, state)
+    info = step_metrics(grid, state, p2)
+    return state, p2, info["drag_reduction/4_1_-|divergence|"], info
+
+
+def gt_control(state: ChannelState, detect_plane: int):
+    """Opposition control: negate V at the detection planes
+    (control_env.py:416-421)."""
+    opV1 = -state.V[:, detect_plane, :]
+    opV2 = -state.V[:, -detect_plane, :]
+    return opV1, opV2
+
+
+def rand_control(key, shape, scale: float = 0.01):
+    """Random actuation (matlab compute_opposition.m: 0.01*rand)."""
+    return scale * jax.random.uniform(key, shape)

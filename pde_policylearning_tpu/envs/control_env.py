@@ -1,0 +1,254 @@
+"""Stateful channel-flow control environment (reference API surface).
+
+reference: libs/envs/control_env.py:22 (NSControlEnvMatlab).  Same
+observation/reward/info contract, but the MATLAB engine is gone: the solver
+is the pure-JAX core in channel_flow.py, fully jitted, and the environment
+state lives on device between steps.  A `step_n` fast path advances many
+steps in one `lax.scan` without any host sync.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import channel_flow as cf
+
+
+def _relative_loss(a, b):
+    return jnp.linalg.norm(a - b) / jnp.linalg.norm(a)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def _scan_steps(grid, state, opV1_seq, opV2_seq, n_steps: int):
+    """Advance n_steps with a per-step action sequence, collecting the
+    scoreboard on device (no host sync inside)."""
+    def body(carry, ops):
+        st = cf.rk3_step(grid, carry, ops[0], ops[1])
+        _, p2 = cf.boundary_pressures(grid, st)
+        info = cf.step_metrics(grid, st, p2)
+        return st, (p2, info)
+
+    state, (p2s, infos) = jax.lax.scan(
+        body, state, (opV1_seq, opV2_seq), length=n_steps)
+    return state, p2s, infos
+
+
+class NSControlEnv:
+    """Drop-in environment with the reference's method surface
+    (control_env.py:22-664): step/gt_control/rand_control/
+    get_boundary_pressures/reward_*/cal_*/dump_state/load_state.
+    """
+
+    def __init__(self, Nx=32, Ny=130, Nz=32, Re: float = -1.0,
+                 detect_plane: int = 25, test_plane: int = 124,
+                 dt: float = 1e-3, dtype=jnp.float32,
+                 init_cond_path: Optional[str] = None,
+                 noise_scale: float = 0.0, seed: int = 0,
+                 spinup_steps: int = 0):
+        nu = cf.DEFAULT_NU
+        default_re = 178.1899          # control_env.py:27
+        if Re > 0:
+            nu = nu * (default_re / Re)
+        self.detect_plane = detect_plane
+        self.test_plane = test_plane
+        self.dtype = dtype
+        self.grid = cf.make_channel_grid(Nx=Nx, Ny=Ny, Nz=Nz, nu=nu, dt=dt,
+                                         dtype=dtype)
+        self.key = jax.random.PRNGKey(seed)
+        if init_cond_path is not None:
+            self.load_state(init_cond_path)
+        else:
+            self.key, sub = jax.random.split(self.key)
+            self.state = cf.init_state(self.grid, key=sub, noise=noise_scale)
+        if spinup_steps:
+            zeros = jnp.zeros((Nx, Nz), dtype)
+            z1 = jnp.broadcast_to(zeros[None], (spinup_steps, Nx, Nz))
+            self.state, _, _ = _scan_steps(self.grid, self.state, z1, z1,
+                                           spinup_steps)
+
+        self.U_gt = np.asarray(self.state.U)
+        self.V_gt = np.asarray(self.state.V)
+        self.W_gt = np.asarray(self.state.W)
+        self.meanU0 = float(self.state.meanU0)
+
+        init_p = self.cal_pressure()
+        self.speed_min = float(min(self.U.min(), self.V.min(), self.W.min()))
+        self.speed_max = float(max(self.U.max(), self.V.max(), self.W.max()))
+        self.p_min = max(-2.0, float(init_p.min()))
+        self.p_max = min(float(init_p.max()), 1.5)
+        self.info_init = self._fetch_info(self._device_info())
+
+    # -- raw field access (host copies, for drivers/visualization) ---------
+    @property
+    def U(self):
+        return np.asarray(self.state.U)
+
+    @property
+    def V(self):
+        return np.asarray(self.state.V)
+
+    @property
+    def W(self):
+        return np.asarray(self.state.W)
+
+    @property
+    def dPdx(self):
+        return float(self.state.dPdx)
+
+    @property
+    def nu(self):
+        return self.grid.nu
+
+    # -- state persistence (control_env.py:134-180) ------------------------
+    def dump_state(self, save_path: str):
+        g = self.grid
+        data = {
+            "y": np.asarray(g.y), "ym": np.asarray(g.ym),
+            "U": np.asarray(self.state.U), "V": np.asarray(self.state.V),
+            "W": np.asarray(self.state.W), "dPdx": self.dPdx,
+        }
+        if save_path.endswith(".mat"):
+            import scipy.io
+            scipy.io.savemat(save_path, data)
+        else:
+            np.savez(save_path, **data)
+
+    def load_state(self, load_path: str):
+        if load_path.endswith(".mat"):
+            import scipy.io
+            data = scipy.io.loadmat(load_path, mat_dtype=True)
+            if "UU" in data:  # raw solver snapshot with staggering offsets
+                Nx, Nz = self.grid.Nx, self.grid.Nz
+                U = data["UU"][0:Nx, :, 1:Nz + 1]
+                V = data["VV"][1:Nx + 1, :, 1:Nz + 1]
+                W = data["WW"][1:Nx + 1, :, 0:Nz]
+            else:
+                U, V, W = data["U"], data["V"], data["W"]
+        else:
+            data = np.load(load_path)
+            U, V, W = data["U"], data["V"], data["W"]
+        # V may be stored with Ny+1 rows (file convention); keep Ny faces.
+        if V.shape[1] == self.grid.Ny + 1:
+            V = V[:, :self.grid.Ny, :]
+        dPdx = float(np.asarray(data.get("dPdx", cf.DEFAULT_DPDX)).ravel()[0])
+        self.state = cf.init_state(self.grid, U=U, V=V, W=W, dPdx=dPdx,
+                                   dtype=self.dtype)
+
+    def add_random_noise(self, noise_scale, overwrite=False):
+        self.key, ku, kv, kw = jax.random.split(self.key, 4)
+        s = self.state
+        nU = noise_scale * jax.random.normal(ku, s.U.shape, s.U.dtype)
+        nV = noise_scale * jax.random.normal(kv, s.V.shape, s.V.dtype)
+        nW = noise_scale * jax.random.normal(kw, s.W.shape, s.W.dtype)
+        if overwrite:
+            self.state = s.replace(U=nU, V=nV, W=nW)
+        else:
+            self.state = s.replace(U=s.U + nU, V=s.V + nV, W=s.W + nW)
+
+    # -- scores (control_env.py:182-340) -----------------------------------
+    def cal_div(self):
+        return np.asarray(
+            cf.divergence(self.grid, self.state.U, self.state.V,
+                          self.state.W))
+
+    def cal_pressure(self):
+        return np.asarray(cf.compute_pressure(self.grid, self.state))
+
+    def get_boundary_pressures(self):
+        p1, p2 = cf.boundary_pressures(self.grid, self.state)
+        return np.asarray(p1), np.asarray(p2)
+
+    def cal_bulk_v(self):
+        return float(cf.calculate_mean_u(self.grid, self.state.U))
+
+    def cal_speed_norm(self):
+        return float(cf.speed_norm(self.state))
+
+    def cal_shear_stress(self):
+        return float(cf.shear_stress(self.grid, self.state))
+
+    def reward_div(self, bound=-100.0):
+        return float(cf.reward_divergence(self.grid, self.state, bound))
+
+    def reward_gt(self, bound=-100.0):
+        r = -(_relative_loss(jnp.asarray(self.U_gt), self.state.U)
+              + _relative_loss(jnp.asarray(self.V_gt), self.state.V)
+              + _relative_loss(jnp.asarray(self.W_gt), self.state.W))
+        return max(float(r), bound)
+
+    def reward_td(self, prev_U, prev_V, prev_W, bound=-100.0):
+        r = -(_relative_loss(jnp.asarray(prev_U), self.state.U)
+              + _relative_loss(jnp.asarray(prev_V), self.state.V)
+              + _relative_loss(jnp.asarray(prev_W), self.state.W))
+        return max(float(r), bound)
+
+    def cal_relative_info(self, info):
+        rel = {}
+        for k, v in info.items():
+            if "divergence" in k:
+                continue
+            rel[k.replace("drag_reduction", "drag_reduction_relative")] = \
+                v / self.info_init[k]
+        return rel
+
+    # -- policies (control_env.py:404-421) ---------------------------------
+    def reset_init(self):
+        self.info_init = None
+
+    def gt_control(self):
+        opV1, opV2 = cf.gt_control(self.state, self.detect_plane)
+        return np.asarray(opV1), np.asarray(opV2)
+
+    def rand_control(self, P=None):
+        self.key, sub = jax.random.split(self.key)
+        shape = (self.grid.Nx, self.grid.Nz)
+        return np.asarray(cf.rand_control(sub, shape))
+
+    # -- physics-informed loss (control_env.py:627-633) --------------------
+    def pde_loss(self, U, Vgt, V, W, dPdx):
+        U, Vgt, V, W = (jnp.asarray(a, self.dtype) for a in (U, Vgt, V, W))
+        Fu_gt, Fv_gt, Fw_gt = cf.compute_rhs(self.grid, U, Vgt, W, dPdx)
+        Fu_p, Fv_p, Fw_p = cf.compute_rhs(self.grid, U, V, W, dPdx)
+        return (jnp.linalg.norm(Fu_gt - Fu_p)
+                + jnp.linalg.norm(Fv_gt - Fv_p)
+                + jnp.linalg.norm(Fw_gt - Fw_p))
+
+    # -- stepping ----------------------------------------------------------
+    def _device_info(self):
+        _, p2 = cf.boundary_pressures(self.grid, self.state)
+        return cf.step_metrics(self.grid, self.state, p2)
+
+    @staticmethod
+    def _fetch_info(info):
+        # one host fetch for the whole dict (device->host is expensive)
+        flat = jax.device_get(info)
+        return {k: float(v) for k, v in flat.items()}
+
+    def step(self, opV1, opV2):
+        """Advance one step; returns (p2, div_reward, done, info) like
+        control_env.py:639-664."""
+        opV1 = jnp.asarray(opV1, self.dtype)
+        opV2 = jnp.asarray(opV2, self.dtype)
+        self.state, p2, div, info = cf.env_step(self.grid, self.state,
+                                                opV1, opV2)
+        host_info = self._fetch_info(info)
+        host_info.update(self.cal_relative_info(host_info)
+                         if self.info_init else {})
+        return np.asarray(p2), host_info[
+            "drag_reduction/4_1_-|divergence|"], False, host_info
+
+    def step_n(self, opV1_seq, opV2_seq):
+        """Fast path: advance len(opV1_seq) steps in one scan; returns the
+        stacked wall pressures and the metric time series (single fetch)."""
+        n = int(opV1_seq.shape[0])
+        self.state, p2s, infos = _scan_steps(
+            self.grid, self.state,
+            jnp.asarray(opV1_seq, self.dtype),
+            jnp.asarray(opV2_seq, self.dtype), n)
+        fetched = jax.device_get((p2s, infos))
+        return np.asarray(fetched[0]), {
+            k: np.asarray(v) for k, v in fetched[1].items()}
