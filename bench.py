@@ -1,0 +1,55 @@
+"""Headline benchmark: closed-loop channel-flow control throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: env-steps/sec of the full closed loop (opposition policy + RK3 DNS
+step + wall-pressure observation + scoreboard metrics) at the reference
+configuration (32x130x32 grid, Re_tau~180), on one TPU chip.
+
+Baseline: the reference implementation's per-step dominant cost measured on
+this machine's CPU via its own algorithmic structure — 4 projection/pressure
+solves per step, each a Python double loop of 1024 torch.linalg.solve calls
+on 129x129 complex systems (control_env.py:593-602, compute_pressure_py:196)
+— giving 0.33 steps/s (torch 2.x, this container).  The reference has no
+published numbers (BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_STEPS_PER_S = 0.33  # measured proxy, see module docstring
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from pde_policylearning_tpu.control import make_policy, run_closed_loop
+    from pde_policylearning_tpu.envs import NSControlEnv
+
+    print("constructing env...", file=sys.stderr)
+    env = NSControlEnv(Nx=32, Ny=130, Nz=32, detect_plane=25,
+                       noise_scale=0.05, seed=0, spinup_steps=0)
+    policy = make_policy("gt", env.grid, detect_plane=25)
+
+    # warm up / compile
+    run_closed_loop(env, policy, n_steps=50, log_interval=50, verbose=False)
+
+    n = 500
+    t0 = time.perf_counter()
+    run_closed_loop(env, policy, n_steps=n, log_interval=n, verbose=False)
+    dt = time.perf_counter() - t0
+    steps_per_s = n / dt
+
+    print(json.dumps({
+        "metric": "closed_loop_env_steps_per_sec",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Control policies for the channel-flow env.
+
+reference: run_control.py:137-226 (policy dispatch) — rand / unmanipulated /
+gt (opposition) / fno / rno observers / optimal-observer (gradient through a
+frozen observer).
+
+Each policy is a pure function `(state, p2, key) -> (opV1, opV2)` so it can
+be closed over by the jitted closed-loop scan — including the
+'optimal-observer' inner Adam loop, which becomes jax.grad + optax inside
+the graph (the reference runs a host-side torch loop per step).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..envs import channel_flow as cf
+
+
+def make_policy(name: str, grid, *, detect_plane: int = 25,
+                model=None, params=None, p_norm=None, v_norm=None,
+                rand_scale: float = 1.0, model_timestep: int = 1,
+                bound_v_norm=None, plane_norm=None,
+                opt_steps: int = 10, opt_lr: float = 1e-3,
+                reg_weight: float = 0.1,
+                action_scale: float = 1.0,
+                action_clip: Optional[float] = None) -> Callable:
+    """Build a policy function by name."""
+    Nx, Nz = grid.Nx, grid.Nz
+
+    if name == "unmanipulated":
+        def policy(state, p2, key):
+            z = jnp.zeros((Nx, Nz), state.U.dtype)
+            return z, z
+        return policy
+
+    if name == "gt":
+        def policy(state, p2, key):
+            return cf.gt_control(state, detect_plane)
+        return policy
+
+    if name == "rand":
+        def policy(state, p2, key):
+            opV2 = rand_scale * cf.rand_control(key, (Nx, Nz)).astype(
+                state.U.dtype)
+            return jnp.zeros_like(opV2), opV2
+        return policy
+
+    if name in ("fno", "rno"):
+        assert model is not None and params is not None
+
+        def policy(state, p2, key):
+            x = p_norm.encode(p2) if p_norm is not None else p2
+            if name == "fno":
+                x = x[None, :, :, None]
+            else:  # rno consumes a (B, T, H, W, 1) sequence
+                x = jnp.broadcast_to(x[None, None, :, :, None],
+                                     (1, model_timestep, Nx, Nz, 1))
+            pred = model.apply({"params": params}, x).reshape(Nx, Nz)
+            v_hat = v_norm.decode(pred) if v_norm is not None else pred
+            # opposition control with the *estimated* detect-plane velocity:
+            # actuate -v_hat (gt_control applies -V, control_env.py:416-421;
+            # the observer was trained to predict +V, so negate here)
+            opV2 = -action_scale * v_hat
+            # zero-net-flux constraint: remove the plane mean so the wall
+            # actuation injects no mass (cf. the mean subtraction in the
+            # optimal-observer policy, run_control.py:223)
+            opV2 = opV2 - jnp.mean(opV2)
+            if action_clip is not None:
+                opV2 = jnp.clip(opV2, -action_clip, action_clip)
+            return jnp.zeros_like(opV2), opV2.astype(state.U.dtype)
+        return policy
+
+    if name == "optimal-observer":
+        # gradient through the frozen observer: argmin_opV2
+        # ||decode(observer(encode(opV2)))|| + reg*||opV2||, mean-subtracted
+        # (run_control.py:186-224)
+        assert model is not None and params is not None
+        opt = optax.adam(opt_lr)
+
+        def objective(opV2):
+            x = bound_v_norm.encode(opV2) if bound_v_norm is not None \
+                else opV2
+            x = x[None, :, :, None]
+            pred = model.apply({"params": params}, x)
+            if plane_norm is not None:
+                pred = plane_norm.decode(pred)
+            return (jnp.linalg.norm(pred)
+                    + reg_weight * jnp.linalg.norm(opV2))
+
+        def policy(state, p2, key):
+            opV1, opV2 = cf.gt_control(state, detect_plane)
+            opt_state = opt.init(opV2)
+
+            def body(i, carry):
+                v, s = carry
+                g = jax.grad(objective)(v)
+                updates, s = opt.update(g, s)
+                return (optax.apply_updates(v, updates), s)
+
+            opV2, _ = jax.lax.fori_loop(0, opt_steps, body,
+                                        (opV2, opt_state))
+            opV2 = opV2 - jnp.mean(opV2)
+            return opV1, opV2
+        return policy
+
+    raise ValueError(f"Not supported policy name: {name}")

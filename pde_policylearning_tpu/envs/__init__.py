@@ -4,7 +4,7 @@ from .channel_flow import (ChannelGrid, ChannelState, apply_boundary_condition,
                            compute_pressure, compute_rhs, divergence,
                            env_step, gt_control, init_state, make_channel_grid,
                            poisson_solve, projection_step, rand_control,
-                           rk3_step)
+                           rk3_step, rollout)
 from .control_env import NSControlEnv
 
 __all__ = [
@@ -12,5 +12,5 @@ __all__ = [
     "apply_boundary_condition", "boundary_pressures", "calculate_mean_u",
     "compute_pressure", "compute_rhs", "divergence", "env_step", "gt_control",
     "init_state", "make_channel_grid", "poisson_solve", "projection_step",
-    "rand_control", "rk3_step", "NSControlEnv",
+    "rand_control", "rk3_step", "rollout", "NSControlEnv",
 ]

@@ -359,6 +359,13 @@ def init_state(grid: ChannelGrid, key=None, noise: float = 0.0,
             U = U + noise * jax.random.normal(ku, U.shape, dtype)
             V = V + noise * jax.random.normal(kv, V.shape, dtype)
             W = W + noise * jax.random.normal(kw, W.shape, dtype)
+            # make the perturbed field a valid DNS state: no-slip walls +
+            # divergence-free interior (the reference loads an already
+            # projected turbulence snapshot from disk)
+            zeros = jnp.zeros((Nx, Nz), dtype)
+            U, V, W = apply_boundary_condition(U, V, W, zeros, zeros)
+            U, V, W = projection_step(grid, U, V, W)
+            U, V, W = apply_boundary_condition(U, V, W, zeros, zeros)
     else:
         U = jnp.asarray(U, dtype)
         V = jnp.asarray(V, dtype)
@@ -437,3 +444,42 @@ def gt_control(state: ChannelState, detect_plane: int):
 def rand_control(key, shape, scale: float = 0.01):
     """Random actuation (matlab compute_opposition.m: 0.01*rand)."""
     return scale * jax.random.uniform(key, shape)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "detect_plane", "policy",
+                                   "collect_fields"))
+def rollout(grid: ChannelGrid, state: ChannelState, n_steps: int,
+            detect_plane: int = 25, policy: str = "gt",
+            key: Optional[jnp.ndarray] = None,
+            collect_fields: bool = False):
+    """Closed-loop rollout fully on device: the policy (opposition / random /
+    none) is evaluated inside the scan, so there is no per-step host sync.
+
+    Returns (state', outs) where outs stacks per-step (p2, v_plane, dPdx
+    [, U, V, W]).  This is the data-collection engine replacing the
+    reference's Python control loop (run_control.py:135-296).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def body(carry, k):
+        st = carry
+        if policy == "gt":
+            opV1, opV2 = gt_control(st, detect_plane)
+        elif policy == "rand":
+            k1, k2 = jax.random.split(k)
+            opV1 = rand_control(k1, (grid.Nx, grid.Nz)).astype(st.U.dtype)
+            opV2 = rand_control(k2, (grid.Nx, grid.Nz)).astype(st.U.dtype)
+        else:
+            opV1 = jnp.zeros((grid.Nx, grid.Nz), st.U.dtype)
+            opV2 = opV1
+        st = rk3_step(grid, st, opV1, opV2)
+        _, p2 = boundary_pressures(grid, st)
+        v_plane = st.V[:, -detect_plane, :]
+        out = (p2, v_plane, st.dPdx)
+        if collect_fields:
+            out = out + (st.U, st.V, st.W)
+        return st, out
+
+    keys = jax.random.split(key, n_steps)
+    return jax.lax.scan(body, state, keys, length=n_steps)

@@ -3,7 +3,10 @@ from .fno import (FNO, FNO1d, FNO2d, FNO3d, TFNO, TFNO1d, TFNO2d, TFNO3d,
                   FNOBlocks)
 from .layers import (AdaIN, ChannelMLP, GroupNorm, Lifting, Projection,
                      SkipConnection, SoftGating, instance_norm)
+from .mfn import FourierNet, MFNFourierLayer, MultiplicativeNet
 from .observers import FNO2dObserver, RNO2dObserver, UNet, make_grid
+from .pino import (DenseNet, LowRank2d, PINObserver2d, PINObserverFullField,
+                   PINOTrunk, PlanePredHead, PolicyModel2D, SpectralConvND)
 from .rno import (RNO2d, RNOCell, RNOLayer, RNOSpectralConv2d,
                   SpectralConvWithFC, SpectralRegressor)
 from .spectral_layers import SpectralConv
@@ -17,4 +20,7 @@ __all__ = [
     "FNO2dObserver", "RNO2dObserver", "UNet", "make_grid",
     "RNO2d", "RNOCell", "RNOLayer", "RNOSpectralConv2d",
     "SpectralConvWithFC", "SpectralRegressor",
+    "FourierNet", "MFNFourierLayer", "MultiplicativeNet",
+    "DenseNet", "LowRank2d", "PINObserver2d", "PINObserverFullField",
+    "PINOTrunk", "PlanePredHead", "PolicyModel2D", "SpectralConvND",
 ]

@@ -1,4 +1,5 @@
-from . import factorized, fourier, losses, normalization, padding, resample
+from . import (factorized, fourier, losses, normalization, padding,
+               pde_losses, resample)
 
 __all__ = [
     "factorized",
@@ -6,5 +7,6 @@ __all__ = [
     "losses",
     "normalization",
     "padding",
+    "pde_losses",
     "resample",
 ]

@@ -1,0 +1,181 @@
+"""Generic trainer: on-device epoch scans with best-checkpoint tracking.
+
+reference: neuralop/training/trainer.py:13 (Trainer) and the inline loop in
+run_pde_observers.py:167-324.
+
+TPU re-design: the per-batch Python loop with `.item()` syncs becomes a
+`lax.scan` over batches inside a `lax.scan` over epochs, compiled once.
+Device->host transfer happens once per `log_interval` epochs (a single
+transfer costs ~seconds through remote-attach links, see
+.claude/skills/verify/SKILL.md).  The best-so-far params ride in the scan
+carry, so best-checkpoint selection needs no host round-trip either.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def relative_l2_loss(pred, target, decoder=None):
+    """Mean per-sample relative L2 after decoding (the observers' `myloss`
+    with NormalizerGivenMeanStd decode, run_pde_observers.py:186-193)."""
+    if decoder is not None:
+        pred = decoder.decode(pred)
+        target = decoder.decode(target)
+    b = pred.shape[0]
+    diff = jnp.linalg.norm(pred.reshape(b, -1) - target.reshape(b, -1),
+                           axis=1)
+    ynorm = jnp.linalg.norm(target.reshape(b, -1), axis=1)
+    return jnp.mean(diff / ynorm)
+
+
+class Trainer:
+    """Train a flax module on array datasets.
+
+    Parameters mirror the reference budgets: n_epochs, batch_size, lr,
+    StepLR(step_size, gamma), Adam weight_decay.
+    `loss_fn(pred, target)` defaults to decoded relative L2.
+    """
+
+    def __init__(self, model, n_epochs: int, batch_size: int,
+                 learning_rate: float = 1e-3, weight_decay: float = 1e-4,
+                 step_size: int = 100, gamma: float = 0.5,
+                 loss_fn: Optional[Callable] = None,
+                 decoder=None,
+                 log_interval: int = 50,
+                 model_kwargs: Optional[dict] = None,
+                 verbose: bool = True):
+        self.model = model
+        self.n_epochs = n_epochs
+        self.batch_size = batch_size
+        self.learning_rate = learning_rate
+        self.weight_decay = weight_decay
+        self.step_size = step_size
+        self.gamma = gamma
+        self.decoder = decoder
+        self.loss_fn = loss_fn or partial(relative_l2_loss, decoder=decoder)
+        self.log_interval = log_interval
+        self.model_kwargs = model_kwargs or {}
+        self.verbose = verbose
+
+    def _apply(self, params, x):
+        return self.model.apply({"params": params}, x, **self.model_kwargs)
+
+    def train(self, train_data, test_data, params=None,
+              rng: Optional[jax.Array] = None):
+        """train_data/test_data: (x, y) device arrays with leading sample
+        dim.  Returns (best_params, history dict)."""
+        from .optimizers import adam_l2, step_lr
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x_train, y_train = train_data
+        x_test, y_test = test_data
+        n_train = x_train.shape[0]
+        bs = self.batch_size
+        steps_per_epoch = n_train // bs
+
+        schedule = step_lr(self.learning_rate, self.step_size, self.gamma,
+                           steps_per_epoch)
+        opt = adam_l2(schedule, self.weight_decay)
+
+        if params is None:
+            init_rng, rng = jax.random.split(rng)
+            # jitted init: eager complex-constant ops are unsupported on the
+            # TPU runtime (see .claude/skills/verify/SKILL.md)
+            params = jax.jit(partial(self.model.init,
+                                     **self.model_kwargs))(
+                init_rng, x_train[:1])["params"]
+        opt_state = opt.init(params)
+
+        model = self.model
+        loss_fn = self.loss_fn
+        mkw = self.model_kwargs
+
+        def batch_loss(p, xb, yb):
+            pred = model.apply({"params": p}, xb, **mkw)
+            return loss_fn(pred.reshape(yb.shape), yb)
+
+        def train_epoch(params, opt_state, key, x_train, y_train):
+            perm = jax.random.permutation(key, n_train)[
+                :steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+
+            def step(carry, idx):
+                p, s = carry
+                xb = x_train[idx]
+                yb = y_train[idx]
+                loss, g = jax.value_and_grad(batch_loss)(p, xb, yb)
+                updates, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, updates), s), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), perm)
+            return params, opt_state, jnp.mean(losses)
+
+        n_test = x_test.shape[0]
+        test_steps = max(1, n_test // bs)
+
+        def eval_loss(params, x_test, y_test):
+            idx = jnp.arange(test_steps * bs).reshape(test_steps, bs)
+
+            def step(_, i):
+                return None, batch_loss(params, x_test[i], y_test[i])
+
+            _, losses = jax.lax.scan(step, None, idx)
+            return jnp.mean(losses)
+
+        # NOTE: the dataset arrays are jit *arguments*, not closure
+        # constants — closures bake the data into the executable (huge
+        # compile payloads, one recompile per dataset)
+        @jax.jit
+        def run_chunk(carry, keys, x_train, y_train, x_test, y_test):
+            def epoch_body(carry, key):
+                params, opt_state, best_params, best_loss = carry
+                params, opt_state, tr = train_epoch(params, opt_state, key,
+                                                    x_train, y_train)
+                tr = tr.astype(jnp.float32)
+                te = eval_loss(params, x_test, y_test).astype(jnp.float32)
+                better = te < best_loss
+                best_params = jax.tree.map(
+                    lambda new, old: jnp.where(better, new, old),
+                    params, best_params)
+                best_loss = jnp.minimum(te, best_loss)
+                return (params, opt_state, best_params, best_loss), (tr, te)
+
+            return jax.lax.scan(epoch_body, carry, keys)
+
+        carry = (params, opt_state, params,
+                 jnp.asarray(jnp.inf, jnp.float32))
+        history = {"train_loss": [], "test_loss": [], "epoch_time": []}
+        done = 0
+        while done < self.n_epochs:
+            n = min(self.log_interval, self.n_epochs - done)
+            rng, sub = jax.random.split(rng)
+            keys = jax.random.split(sub, n)
+            t0 = time.perf_counter()
+            carry, (tr, te) = run_chunk(carry, keys, x_train, y_train,
+                                        x_test, y_test)
+            tr, te = jax.device_get((tr, te))
+            dt = time.perf_counter() - t0
+            history["train_loss"].extend(np.asarray(tr).tolist())
+            history["test_loss"].extend(np.asarray(te).tolist())
+            history["epoch_time"].append(dt / n)
+            done += n
+            if self.verbose:
+                print(f"epoch {done}/{self.n_epochs}: "
+                      f"train {tr[-1]:.5f} test {te[-1]:.5f} "
+                      f"best {float(carry[3]):.5f} "
+                      f"({dt / n * 1e3:.1f} ms/epoch)")
+        best_params = carry[2]
+        history["best_loss"] = float(carry[3])
+        return best_params, history
+
+    def evaluate(self, params, test_data):
+        x, y = test_data
+        pred = self._apply(params, x)
+        return float(self.loss_fn(pred.reshape(y.shape), y))

@@ -1,0 +1,75 @@
+"""Closed-loop control tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_policylearning_tpu import models
+from pde_policylearning_tpu.control import make_policy, run_closed_loop
+from pde_policylearning_tpu.envs import NSControlEnv
+from pde_policylearning_tpu.ops.normalization import NormalizerGivenMeanStd
+
+
+@pytest.fixture()
+def env():
+    return NSControlEnv(Nx=8, Ny=17, Nz=8, detect_plane=3,
+                        dtype=jnp.float64, noise_scale=0.02, seed=1)
+
+
+@pytest.mark.parametrize("policy_name", ["gt", "rand", "unmanipulated"])
+def test_basic_policies(env, policy_name):
+    # rand actuation has positive mean (compute_opposition.m: 0.01*rand), so
+    # it injects net wall mass flux; keep it small to stay within the
+    # divergence guard on this coarse grid
+    policy = make_policy(policy_name, env.grid, detect_plane=3,
+                         rand_scale=0.01)
+    res = run_closed_loop(env, policy, n_steps=6, log_interval=3,
+                          verbose=False)
+    s = res["series"]
+    assert len(s["drag_reduction/1_shear_stress"]) == 6
+    assert np.isfinite(s["drag_reduction/4_4_speed_norm"]).all()
+    assert "drag_reduction_relative/1_shear_stress" in s
+
+
+def test_observer_policy(env):
+    model = models.FNO2dObserver(modes1=3, modes2=3, width=8)
+    x = jnp.zeros((1, 8, 8, 1))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    p_norm = NormalizerGivenMeanStd(jnp.zeros(()), jnp.ones(()))
+    # decode scale keeps the untrained model's random actuation small
+    v_norm = NormalizerGivenMeanStd(jnp.zeros(()), jnp.asarray(1e-3))
+    policy = make_policy("fno", env.grid, model=model, params=params,
+                         p_norm=p_norm, v_norm=v_norm)
+    res = run_closed_loop(env, policy, n_steps=4, log_interval=4,
+                          verbose=False, collect_planes=True)
+    assert res["opV2"].shape == (4, 8, 8)
+    assert np.isfinite(res["opV2"]).all()
+
+
+def test_optimal_observer_policy(env):
+    model = models.FNO2dObserver(modes1=3, modes2=3, width=8)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 8, 1)))["params"]
+    norm = NormalizerGivenMeanStd(jnp.zeros(()), jnp.ones(()))
+    policy = make_policy("optimal-observer", env.grid, detect_plane=3,
+                         model=model, params=params, bound_v_norm=norm,
+                         opt_steps=3)
+    res = run_closed_loop(env, policy, n_steps=3, log_interval=3,
+                          verbose=False, collect_planes=True)
+    # the action must be mean-subtracted (run_control.py:223)
+    assert abs(res["opV2"][-1].mean()) < 1e-8
+    assert np.isfinite(res["opV2"]).all()
+
+
+def test_divergence_guard():
+    env = NSControlEnv(Nx=8, Ny=17, Nz=8, detect_plane=3,
+                       dtype=jnp.float64)
+    # actuate insanely hard to blow up the solver
+
+    def bad_policy(state, p2, key):
+        big = 1e4 * jnp.ones((8, 8), state.U.dtype)
+        return big, -big
+
+    with pytest.raises(RuntimeError, match="diverged"):
+        run_closed_loop(env, bad_policy, n_steps=40, log_interval=10,
+                        verbose=False)

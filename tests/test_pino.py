@@ -1,0 +1,118 @@
+"""PINO subsystem tests: models, residual losses, synthetic data, training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_policylearning_tpu import models
+from pde_policylearning_tpu.data import KFDataset, gaussian_rf_2d, \
+    ns_vorticity_rollout
+from pde_policylearning_tpu.ops import pde_losses
+from pde_policylearning_tpu.training.pino_train import eval_ns, train_ns
+
+
+def test_pinobserver2d_shapes():
+    model = models.PINObserver2d(modes1=(3, 3), modes2=(3, 3),
+                                 modes3=(2, 2), layers=(8, 8, 8),
+                                 fc_dim=16, in_dim=4)
+    a = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 5, 4))
+    re = jnp.full((2,), 40.0)
+    params = model.init(jax.random.PRNGKey(1), a, re)["params"]
+    out = model.apply({"params": params}, a, re)
+    assert out.shape == (2, 8, 8, 5, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pinobserver_fullfield_and_policy():
+    model = models.PINObserverFullField(
+        plane_num=3, modes1=(3, 3), modes2=(3, 3), modes3=(1, 1),
+        layers=(8, 8, 8), fc_dim=16, in_dim=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 1, 1))
+    re = jnp.full((2,), 180.0)
+    params = model.init(jax.random.PRNGKey(1), x, re)["params"]
+    out = model.apply({"params": params}, x, re)
+    assert out.shape == (2, 3, 8, 8, 1)
+
+    pol = models.PolicyModel2D(modes1=(3, 3), modes2=(3, 3), modes3=(1, 1),
+                               layers=(8, 8, 8), fc_dim=16, in_dim=1)
+    pparams = pol.init(jax.random.PRNGKey(2), x, re)["params"]
+    pparams = pol.zero_init_params(pparams)
+    pout = pol.apply({"params": pparams}, x, re)
+    # zero-init => the residual actuation starts exactly at 0
+    assert float(jnp.max(jnp.abs(pout))) == 0.0
+
+
+def test_mfn_fouriernet():
+    net = models.FourierNet(hidden_size=16, out_size=1, n_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 5, 2))
+    code = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    params = net.init(jax.random.PRNGKey(2), x, code)["params"]
+    out = net.apply({"params": params}, x, code)
+    assert out.shape == (2, 5, 5)
+
+
+def test_vorticity_residual_on_exact_solution():
+    """Taylor-Green-like decaying vortex: w(x,y,t) = 2k^2 nu-decay cos kx
+    cos ky satisfies the unforced NS vorticity equation (advection vanishes
+    by symmetry)."""
+    N, T = 32, 9
+    nu = 0.05
+    t_interval = 0.1
+    xs = jnp.linspace(0, 2 * np.pi, N, endpoint=False)
+    ts = jnp.linspace(0, t_interval, T)
+    X, Y, Tm = jnp.meshgrid(xs, xs, ts, indexing="ij")
+    k = 1.0
+    w = (jnp.cos(k * X) * jnp.cos(k * Y)
+         * jnp.exp(-2 * k ** 2 * nu * Tm))[None]
+    res = pde_losses.fdm_ns_vorticity(w, v=jnp.asarray([nu]),
+                                      t_interval=t_interval)
+    rel = float(jnp.linalg.norm(res) / jnp.linalg.norm(w))
+    assert rel < 5e-3  # central-difference-in-time truncation error
+
+
+def test_burgers_residual_zero_for_constant():
+    u = jnp.ones((2, 8, 16))
+    res = pde_losses.fdm_burgers(u, v=0.01)
+    assert float(jnp.max(jnp.abs(res))) < 1e-10
+
+
+def test_darcy_residual_runs():
+    a = jnp.ones((2, 16, 16))
+    u = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16))
+    res = pde_losses.fdm_darcy(u, a)
+    assert res.shape == (2, 12, 12)
+    loss = pde_losses.darcy_loss(u, a)
+    assert jnp.isfinite(loss)
+
+
+def test_grf_and_solver():
+    key = jax.random.PRNGKey(0)
+    w0 = gaussian_rf_2d(key, 32, batch=2)
+    assert w0.shape == (2, 32, 32)
+    assert abs(float(w0.mean())) < 1.0
+    traj = ns_vorticity_rollout(w0, None, visc=1e-2, dt=1e-3, n_steps=20,
+                                record_every=10)
+    assert traj.shape == (2, 32, 32, 2)
+    assert bool(jnp.all(jnp.isfinite(traj)))
+    # viscosity dissipates enstrophy in unforced flow
+    assert float(jnp.sum(traj[..., -1] ** 2)) < float(jnp.sum(w0 ** 2))
+
+
+def test_kf_dataset_generate_and_train():
+    ds = KFDataset.generate(jax.random.PRNGKey(0), n_traj=6, S=16, T=5,
+                            re=40.0)
+    u, a, re = ds.arrays()
+    assert u.shape == (6, 16, 16, 5)
+    assert a.shape == (6, 16, 16, 5, 4)
+    assert re.shape == (6,)
+    np.testing.assert_allclose(np.asarray(a[..., 0, 3]), np.asarray(u[..., 0]),
+                               atol=1e-5)
+
+    model = models.PINObserver2d(modes1=(3, 3), modes2=(3, 3),
+                                 modes3=(2, 2), layers=(8, 8, 8), fc_dim=16)
+    params, hist = train_ns(model, (u, a, re), iterations=12, batch_size=2,
+                            log_interval=6, verbose=False)
+    assert np.isfinite(hist["total"]).all()
+    assert hist["total"][-1] < hist["total"][0] * 2  # sane trajectory
+    err = eval_ns(model, params, (u, a, re), batch_size=2)
+    assert np.isfinite(err)

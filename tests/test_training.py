@@ -1,0 +1,107 @@
+"""End-to-end slice tests: env-generated dataset -> Trainer -> loss drops."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_policylearning_tpu import models
+from pde_policylearning_tpu.data import (PDEDataset, SequentialPDEDataset,
+                                         batch_arrays,
+                                         generate_channel_dataset)
+from pde_policylearning_tpu.training import (Trainer, load_msgpack,
+                                             save_msgpack)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    folder = str(tmp_path_factory.mktemp("channel_data"))
+    generate_channel_dataset(
+        folder, n_steps=48, policy="gt", detect_plane=3,
+        env_kwargs={"Nx": 8, "Ny": 17, "Nz": 8, "dtype": jnp.float64,
+                    "noise_scale": 0.05, "detect_plane": 3})
+    return folder
+
+
+def test_dataset_format_and_loading(tiny_dataset):
+    import os
+    files = os.listdir(tiny_dataset)
+    assert "metadata.npy" in files
+    assert sum(f.startswith("P_planes") for f in files) == 48
+    ds = PDEDataset.from_folder(tiny_dataset, np.arange(32),
+                                downsample_rate=1, x_range=8, y_range=8)
+    x, y = ds.arrays()
+    assert x.shape == (32, 8, 8, 1)
+    # normalized data should be roughly standardized
+    assert abs(float(jnp.mean(x))) < 1.0
+
+    seq = SequentialPDEDataset.from_folder(tiny_dataset, np.arange(32),
+                                           x_range=8, y_range=8, timestep=2)
+    xs, ys = seq.arrays()
+    assert xs.shape == (16, 2, 8, 8, 1)
+
+
+def test_batch_arrays():
+    x = jnp.arange(10 * 3).reshape(10, 3)
+    (xb,) = batch_arrays([x], 4)
+    assert xb.shape == (2, 4, 3)
+    (xs,) = batch_arrays([x], 4, key=jax.random.PRNGKey(0))
+    assert xs.shape == (2, 4, 3)
+
+
+def test_trainer_loss_decreases(tiny_dataset):
+    ds = PDEDataset.from_folder(tiny_dataset, np.arange(40), x_range=8,
+                                y_range=8)
+    x, y = ds.arrays()
+    x_train, y_train = x[:32], y[:32]
+    x_test, y_test = x[32:], y[32:]
+    model = models.FNO2dObserver(modes1=3, modes2=3, width=8)
+    trainer = Trainer(model, n_epochs=30, batch_size=8, learning_rate=2e-3,
+                      decoder=ds.v_norm, log_interval=15, verbose=False)
+    best_params, hist = trainer.train((x_train, y_train), (x_test, y_test))
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert hist["best_loss"] <= hist["test_loss"][0]
+    assert np.isfinite(hist["best_loss"])
+
+
+def test_trainer_recurrent(tiny_dataset):
+    seq = SequentialPDEDataset.from_folder(tiny_dataset, np.arange(40),
+                                           x_range=8, y_range=8, timestep=2)
+    xs, ys = seq.arrays()
+    y_sel = ys[:, 0]
+    model = models.RNO2dObserver(modes1=3, modes2=3, width=8, layer_num=1)
+    trainer = Trainer(model, n_epochs=4, batch_size=4, decoder=seq.v_norm,
+                      log_interval=4, verbose=False)
+    best_params, hist = trainer.train((xs[:16], y_sel[:16]),
+                                      (xs[16:], y_sel[16:]))
+    assert np.isfinite(hist["test_loss"]).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.ones((3,)), "b": {"c": jnp.arange(4.0)}}
+    path = str(tmp_path / "ckpt.msgpack")
+    save_msgpack(path, tree)
+    restored = load_msgpack(path, tree)
+    np.testing.assert_allclose(np.asarray(restored["b"]["c"]),
+                               np.arange(4.0))
+
+
+def test_observer_driver_main(tiny_dataset, monkeypatch, tmp_path):
+    """Drive run_pde_observers.main end-to-end on the tiny dataset."""
+    import os
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo")
+    import run_pde_observers as driver
+    from pde_policylearning_tpu.utils import DotDict
+    args = DotDict({
+        "DATA_FOLDER": tiny_dataset, "path_name": "test", "exp_name": "t0",
+        "model_name": "FNO2dObserver", "learning_rate": 1e-3,
+        "weight_decay": 1e-4, "epochs": 4, "step_size": 100, "gamma": 0.5,
+        "modes": 3, "width": 8, "batch_size": 8, "downsample_rate": 1,
+        "x_range": 8, "y_range": 8, "ntrain": 32, "ntest": 8,
+        "random_split": True, "set_epoch": -1, "log_interval": 4,
+    })
+    best_params, hist = driver.main(args)
+    assert os.path.exists("./outputs/test_t0.msgpack")
+    assert np.isfinite(hist["best_loss"])
