@@ -1,0 +1,13 @@
+from .mesh import (DATA_AXIS, MODEL_AXIS, get_data_parallel_size,
+                   get_model_parallel_size, init_distributed, make_mesh,
+                   replicate, shard_batch, split_batch_size)
+from .patching import (MultigridPatching2D, make_mg_patches, make_patches,
+                       stitch_patches)
+
+__all__ = [
+    "DATA_AXIS", "MODEL_AXIS", "get_data_parallel_size",
+    "get_model_parallel_size", "init_distributed", "make_mesh", "replicate",
+    "shard_batch", "split_batch_size",
+    "MultigridPatching2D", "make_mg_patches", "make_patches",
+    "stitch_patches",
+]

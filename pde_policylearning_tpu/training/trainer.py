@@ -50,6 +50,7 @@ class Trainer:
                  decoder=None,
                  log_interval: int = 50,
                  model_kwargs: Optional[dict] = None,
+                 patcher=None,
                  verbose: bool = True):
         self.model = model
         self.n_epochs = n_epochs
@@ -62,6 +63,8 @@ class Trainer:
         self.loss_fn = loss_fn or partial(relative_l2_loss, decoder=decoder)
         self.log_interval = log_interval
         self.model_kwargs = model_kwargs or {}
+        self.patcher = patcher  # MultigridPatching2D (trainer.py:96-121
+        # patch -> forward -> unpatch flow in the reference Trainer)
         self.verbose = verbose
 
     def _apply(self, params, x):
@@ -97,8 +100,15 @@ class Trainer:
         loss_fn = self.loss_fn
         mkw = self.model_kwargs
 
+        patcher = self.patcher
+
         def batch_loss(p, xb, yb):
-            pred = model.apply({"params": p}, xb, **mkw)
+            if patcher is not None:
+                xb, yb_p = patcher.patch(xb, yb)
+                pred = model.apply({"params": p}, xb, **mkw)
+                pred, yb = patcher.unpatch(pred, yb)
+            else:
+                pred = model.apply({"params": p}, xb, **mkw)
             return loss_fn(pred.reshape(yb.shape), yb)
 
         def train_epoch(params, opt_state, key, x_train, y_train):
