@@ -10,6 +10,12 @@ from .pino import (DenseNet, LowRank2d, PINObserver2d, PINObserverFullField,
 from .rno import (RNO2d, RNOCell, RNOLayer, RNOSpectralConv2d,
                   SpectralConvWithFC, SpectralRegressor)
 from .spectral_layers import SpectralConv
+from .transformer import (BulkRegressor, FeedForward, FourierTransformer2D,
+                          FourierTransformer2DLite, SimpleAttention,
+                          SimpleTransformer, SimpleTransformerEncoderLayer,
+                          attention, causal_linear_attention, freq_attention,
+                          linear_attention, positional_encoding)
+from .uno import UNO
 
 __all__ = [
     "MODEL_ZOO", "available_models", "dispatch_model", "get_model",
@@ -23,4 +29,8 @@ __all__ = [
     "FourierNet", "MFNFourierLayer", "MultiplicativeNet",
     "DenseNet", "LowRank2d", "PINObserver2d", "PINObserverFullField",
     "PINOTrunk", "PlanePredHead", "PolicyModel2D", "SpectralConvND",
+    "BulkRegressor", "FeedForward", "FourierTransformer2D",
+    "FourierTransformer2DLite", "SimpleAttention", "SimpleTransformer",
+    "SimpleTransformerEncoderLayer", "attention", "causal_linear_attention",
+    "freq_attention", "linear_attention", "positional_encoding", "UNO",
 ]

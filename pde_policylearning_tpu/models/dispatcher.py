@@ -9,8 +9,10 @@ import inspect
 import warnings
 
 from .fno import FNO, FNO1d, FNO2d, FNO3d, TFNO, TFNO1d, TFNO2d, TFNO3d
+from .uno import UNO
 
 MODEL_ZOO = {
+    "uno": UNO,
     "tfno": TFNO,
     "tfno1d": TFNO1d,
     "tfno2d": TFNO2d,
