@@ -1,0 +1,78 @@
+"""DINo subsystem tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_policylearning_tpu.data.dino_datasets import (
+    generate_mask, generate_navier_stokes_data,
+    generate_skipped_lat_lon_mask, generate_wave_data)
+from pde_policylearning_tpu.models.dino import (Decoder, Derivative,
+                                                SetEncoder, odeint_rk4)
+from pde_policylearning_tpu.training.dino_train import (eval_dino,
+                                                        train_dino)
+
+
+def test_odeint_rk4_exponential():
+    # dy/dt = -y  ->  y(t) = e^-t
+    ts = jnp.linspace(0, 1, 21)
+    ys = odeint_rk4(lambda t, y: -y, jnp.ones((2, 3)), ts)
+    np.testing.assert_allclose(np.asarray(ys[-1]),
+                               np.exp(-1.0) * np.ones((2, 3)), rtol=1e-6)
+
+
+def test_decoder_and_derivative_shapes():
+    dec = Decoder(state_c=1, hidden_c=16, code_c=8, coord_dim=2, n_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 5, 5, 1, 2))
+    codes = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    params = dec.init(jax.random.PRNGKey(2), x, codes)["params"]
+    out = dec.apply({"params": params}, x, codes)
+    assert out.shape == (4, 5, 5, 1)
+
+    dyn = Derivative(state_c=1, code_c=8, hidden_c=32)
+    dp = dyn.init(jax.random.PRNGKey(3), 0.0, codes)["params"]
+    du = dyn.apply({"params": dp}, 0.0, codes)
+    assert du.shape == codes.shape
+
+
+def test_set_encoder():
+    enc = SetEncoder(code_size=8, n_cond=3, hidden_size=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    out = enc.apply(params, x)
+    assert out.shape == (2, 8)
+
+
+def test_wave_and_ns_generation():
+    wave = generate_wave_data(jax.random.PRNGKey(0), 2, 16, 5)
+    assert wave.shape == (2, 5, 16, 16, 1)
+    assert bool(jnp.isfinite(wave).all())
+    ns = generate_navier_stokes_data(jax.random.PRNGKey(1), 2, 16, 5)
+    assert ns.shape == (2, 5, 16, 16, 1)
+    assert bool(jnp.isfinite(ns).all())
+
+
+def test_masks():
+    m = generate_mask(jax.random.PRNGKey(0), 16, 16, 0.5)
+    frac = float(jnp.mean(m))
+    assert 0.3 < frac < 0.7
+    ll = generate_skipped_lat_lon_mask(16, 16)
+    assert ll.shape == (16, 16)
+    assert bool(ll.any())
+
+
+def test_dino_end_to_end_small():
+    data = generate_wave_data(jax.random.PRNGKey(0), 4, 12, 4)
+    t_grid = jnp.linspace(0, 1.0, 4)
+    dec = Decoder(state_c=1, hidden_c=16, code_c=6, coord_dim=2, n_layers=2)
+    dyn = Derivative(state_c=1, code_c=6, hidden_c=32)
+    dec_p, dyn_p, states, hist = train_dino(
+        dec, dyn, data, t_grid, code_dim=6, n_epochs=30, batch_size=4,
+        lr=5e-3, log_interval=15, verbose=False)
+    assert np.isfinite(hist["autodec"]).all()
+    assert hist["autodec"][-1] < hist["autodec"][0]
+
+    res = eval_dino(dec, dyn, dec_p, dyn_p, data, t_grid, code_dim=6,
+                    adapt_steps=30, n_cond_frames=1)
+    assert np.isfinite(res["mse"])
+    assert res["pred"].shape == data.shape
