@@ -9,6 +9,7 @@ from .pino import (DenseNet, LowRank2d, PINObserver2d, PINObserverFullField,
                    PINOTrunk, PlanePredHead, PolicyModel2D, SpectralConvND)
 from .rno import (RNO2d, RNOCell, RNOLayer, RNOSpectralConv2d,
                   SpectralConvWithFC, SpectralRegressor)
+from .sfno import SFNO, SphericalConv
 from .spectral_layers import SpectralConv
 from .transformer import (BulkRegressor, FeedForward, FourierTransformer2D,
                           FourierTransformer2DLite, SimpleAttention,
@@ -33,4 +34,5 @@ __all__ = [
     "FourierTransformer2DLite", "SimpleAttention", "SimpleTransformer",
     "SimpleTransformerEncoderLayer", "attention", "causal_linear_attention",
     "freq_attention", "linear_attention", "positional_encoding", "UNO",
+    "SFNO", "SphericalConv",
 ]
