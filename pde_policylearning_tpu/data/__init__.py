@@ -2,6 +2,12 @@ from .channel import (FullFieldNSDataset, PDEDataset, SequentialPDEDataset,
                       batch_arrays, generate_channel_dataset)
 from .pino_datasets import (BurgersDataset, DarcyDataset, KFDataset,
                             MultipleReynoldsKFaDataset, get_grid3d)
+from .library import (H5pyDataset, MatReader, PositionalEmbedding2D,
+                      RandomMGPatch, TensorDataset,
+                      append_2d_grid_positional_encoding,
+                      grid_positional_encoding, load_burgers,
+                      load_darcy_flow, load_navier_stokes,
+                      load_spherical_swe)
 from .synthetic import (gaussian_rf_2d, generate_kolmogorov_data,
                         ns_vorticity_rollout)
 
@@ -10,4 +16,9 @@ __all__ = ["FullFieldNSDataset", "PDEDataset", "SequentialPDEDataset",
            "BurgersDataset", "DarcyDataset", "KFDataset",
            "MultipleReynoldsKFaDataset", "get_grid3d",
            "gaussian_rf_2d", "generate_kolmogorov_data",
-           "ns_vorticity_rollout"]
+           "ns_vorticity_rollout",
+           "H5pyDataset", "MatReader", "PositionalEmbedding2D",
+           "RandomMGPatch", "TensorDataset",
+           "append_2d_grid_positional_encoding", "grid_positional_encoding",
+           "load_burgers", "load_darcy_flow", "load_navier_stokes",
+           "load_spherical_swe"]
