@@ -34,10 +34,11 @@ def main():
                        noise_scale=0.05, seed=0, spinup_steps=0)
     policy = make_policy("gt", env.grid, detect_plane=25)
 
-    # warm up / compile
-    run_closed_loop(env, policy, n_steps=50, log_interval=50, verbose=False)
-
+    # warm up / compile with the SAME chunk length as the measured run
+    # (scan length is a static shape — different lengths recompile)
     n = 500
+    run_closed_loop(env, policy, n_steps=n, log_interval=n, verbose=False)
+
     t0 = time.perf_counter()
     run_closed_loop(env, policy, n_steps=n, log_interval=n, verbose=False)
     dt = time.perf_counter() - t0

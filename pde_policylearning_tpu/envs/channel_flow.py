@@ -42,7 +42,15 @@ class ChannelGrid:
     yg: jnp.ndarray     # (Ny+1,)
     kxx: jnp.ndarray    # (Nx,) modified wavenumbers -kx^2
     kzz: jnp.ndarray    # (Nz,)
-    Pinv: jnp.ndarray   # (Nx, Nz//2+1, Ny-1, Ny-1) inverse Poisson operators
+    # Eigen-factorization of the wall-normal operator DD = A diag(lam) B
+    # (A = S^-1 Q, B = Q^T S from the diagonal symmetrization) — the
+    # per-wavenumber solve (DD + kk I)^-1 rhs becomes two SHARED dense
+    # matmuls + an elementwise divide by (lam + kk), ~66 KB of operator
+    # data instead of Nx*Nzr dense inverses (36 MB).
+    eig_A: jnp.ndarray   # (Ny-1, Ny-1)
+    eig_B: jnp.ndarray   # (Ny-1, Ny-1)
+    eig_lam: jnp.ndarray  # (Ny-1,)
+    Pinv00: jnp.ndarray  # (Ny-1, Ny-1) inverse of the regularized (0,0) mode
     DD_diag: jnp.ndarray  # (Ny-1,) tridiagonal Poisson operator (for refine)
     DD_lower: jnp.ndarray  # (Ny-2,)
     DD_upper: jnp.ndarray  # (Ny-2,)
@@ -115,14 +123,26 @@ def make_channel_grid(Nx: int = 32, Ny: int = 130, Nz: int = 32,
     diag[-1] += 1.0 / (y[n] - y[n - 1]) / (yg[n + 1] - yg[n])
     DD = np.diag(diag) + np.diag(lower, -1) + np.diag(upper, 1)
 
-    # Precompute the inverse of (DD + (kxx+kzz) I) for every retained
-    # wavenumber pair; z uses rfft so only Nz//2+1 columns appear.
-    Nzr = Nz // 2 + 1
-    eye = np.eye(n)
-    kk = kxx[:, None] + kzz[None, :Nzr]          # (Nx, Nzr)
-    D = DD[None, None] + kk[:, :, None, None] * eye[None, None]
-    D[0, 0, 0, 0] *= 1.5                          # regularize the mean mode
-    Pinv = np.linalg.inv(D.reshape(-1, n, n)).reshape(Nx, Nzr, n, n)
+    # Eigen-factorize DD once: DD is a nonsymmetric tridiagonal similar to
+    # a symmetric one via a diagonal scaling S (off-diagonal products are
+    # positive), so DD = S^-1 Q diag(lam) Q^T S with orthogonal Q.  Then
+    # (DD + kk I)^-1 rhs = A [ (B rhs) / (lam + kk) ] with A = S^-1 Q,
+    # B = Q^T S — two dense matmuls shared across ALL wavenumbers.
+    # symmetry requires (s_{j}/s_{j-1})^2 = upper/lower
+    s = np.ones(n)
+    for j in range(1, n):
+        s[j] = s[j - 1] * np.sqrt(upper[j - 1] / lower[j - 1])
+    s /= np.exp(np.mean(np.log(np.abs(s))))  # scale-free normalization
+    off_sym = np.sqrt(lower * upper)
+    T = np.diag(diag) + np.diag(off_sym, -1) + np.diag(off_sym, 1)
+    lam, Q = np.linalg.eigh(T)
+    eig_A = Q / s[:, None]
+    eig_B = Q.T * s[None, :]
+    # the horizontally-averaged (0,0) mode uses the 1.5*D[0,0]
+    # regularization (control_env.py:598-599): dedicated small inverse
+    D00 = DD.copy()
+    D00[0, 0] *= 1.5
+    Pinv00 = np.linalg.inv(D00)
 
     if refine_steps is None:
         refine_steps = 0 if dtype == jnp.float64 else 1
@@ -130,7 +150,8 @@ def make_channel_grid(Nx: int = 32, Ny: int = 130, Nz: int = 32,
     return ChannelGrid(
         y=as_dt(y), ym=as_dt(ym), yg=as_dt(yg),
         kxx=as_dt(kxx), kzz=as_dt(kzz),
-        Pinv=as_dt(Pinv),
+        eig_A=as_dt(eig_A), eig_B=as_dt(eig_B), eig_lam=as_dt(lam),
+        Pinv00=as_dt(Pinv00),
         DD_diag=as_dt(diag), DD_lower=as_dt(lower), DD_upper=as_dt(upper),
         dx=float(dx), dz=float(dz), dt=float(dt), nu=float(nu),
         Nx=Nx, Ny=Ny, Nz=Nz, refine_steps=int(refine_steps),
@@ -246,24 +267,37 @@ def _tridiag_apply(grid: ChannelGrid, kk, p_hat):
     return out
 
 
-def poisson_solve(grid: ChannelGrid, rhs):
-    """Solve (d_yy + kxx + kzz) p = rhs with rfft over z, fft over x and the
-    precomputed batched inverse over y.
+def _eig_solve(grid: ChannelGrid, rhs_hat, kk):
+    """(DD + kk)^-1 rhs_hat via the shared eigen-factorization: two dense
+    matmuls over y + a diagonal divide — MXU-shaped, ~66 KB of operator
+    reads vs the reference's 1024 independent dense solves
+    (control_env.py:593-602)."""
+    y = jnp.einsum("ab,xbz->xaz", grid.eig_B.astype(rhs_hat.real.dtype),
+                   rhs_hat)
+    y = y / (grid.eig_lam[None, :, None] + kk)
+    return jnp.einsum("ab,xbz->xaz", grid.eig_A.astype(rhs_hat.real.dtype),
+                      y)
 
-    Replaces the reference's Python double loop of dense solves
-    (control_env.py:593-602) with one einsum on the MXU.
-    """
+
+def poisson_solve(grid: ChannelGrid, rhs):
+    """Solve (d_yy + kxx + kzz) p = rhs: rfft over z, fft over x, shared
+    eigen-solve over y; the regularized (0,0) mean mode
+    (1.5*D[0,0], control_env.py:598-599) gets its dedicated inverse."""
+    Nzr = grid.Nz // 2 + 1
     rhs_hat = jnp.fft.fft(jnp.fft.rfft(rhs, axis=2), axis=0)  # (Nx, n, Nzr)
-    p_hat = jnp.einsum("xzab,xbz->xaz", grid.Pinv, rhs_hat)
+    kk = (grid.kxx[:, None, None]
+          + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
+    p_hat = _eig_solve(grid, rhs_hat, kk)
+    p00 = grid.Pinv00.astype(rhs.dtype) @ rhs_hat[0, :, 0]
+    p_hat = p_hat.at[0, :, 0].set(p00)
     if grid.refine_steps:
-        Nzr = grid.Nz // 2 + 1
-        kk = (grid.kxx[:, None, None]
-              + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
-        # the regularized mean mode uses 1.5*D[0,0] (control_env.py:598-599)
         for _ in range(grid.refine_steps):
             r = rhs_hat - _tridiag_apply(grid, kk, p_hat)
             r = r.at[0, 0, 0].add(-0.5 * grid.DD_diag[0] * p_hat[0, 0, 0])
-            p_hat = p_hat + jnp.einsum("xzab,xbz->xaz", grid.Pinv, r)
+            corr = _eig_solve(grid, r, kk)
+            corr = corr.at[0, :, 0].set(
+                grid.Pinv00.astype(rhs.dtype) @ r[0, :, 0])
+            p_hat = p_hat + corr
     return jnp.fft.irfft(jnp.fft.ifft(p_hat, axis=0), n=grid.Nz, axis=2)
 
 
@@ -289,22 +323,43 @@ def calculate_mean_u(grid: ChannelGrid, U):
     return jnp.trapezoid(vals, ys) / 2.0
 
 
-def compute_pressure(grid: ChannelGrid, state: ChannelState):
-    """Observation pressure field from the RHS divergence
-    (control_env.py:196-229)."""
+def _pressure_rhs(grid: ChannelGrid, state: ChannelState):
     Fu, Fv, Fw = compute_rhs(grid, state.U, state.V, state.W, state.dPdx)
     dyf = (grid.y[1:] - grid.y[:-1])[None, :, None]
     fx = (_xp(Fu[:, 1:-1]) - Fu[:, 1:-1]) / grid.dx
     fy = (Fv[:, 1:] - Fv[:, :-1]) / dyf
     fz = (_zp(Fw[:, 1:-1]) - Fw[:, 1:-1]) / grid.dz
-    return poisson_solve(grid, fx + fy + fz)
+    return fx + fy + fz
+
+
+def compute_pressure(grid: ChannelGrid, state: ChannelState):
+    """Observation pressure field from the RHS divergence
+    (control_env.py:196-229)."""
+    return poisson_solve(grid, _pressure_rhs(grid, state))
 
 
 def boundary_pressures(grid: ChannelGrid, state: ChannelState):
-    """(p1, p2) bottom/top wall pressures (control_env.py:423-427)."""
-    P = compute_pressure(grid, state)
-    p1 = -0.5 * (P[:, 0, :] + P[:, 1, :])
-    p2 = -0.5 * (P[:, -1, :] + P[:, -2, :])
+    """(p1, p2) bottom/top wall pressures (control_env.py:423-427).
+
+    Fast path: only the 4 wall-adjacent y-rows of the pressure are needed,
+    so the synthesis matmul uses a 4-row slice of the eigenvector matrix —
+    ~32x less solve output than the reference's full-field observation."""
+    rhs = _pressure_rhs(grid, state)
+    Nzr = grid.Nz // 2 + 1
+    n = grid.Ny - 1
+    rhs_hat = jnp.fft.fft(jnp.fft.rfft(rhs, axis=2), axis=0)
+    kk = (grid.kxx[:, None, None]
+          + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
+    y = jnp.einsum("ab,xbz->xaz", grid.eig_B.astype(rhs.dtype), rhs_hat)
+    y = y / (grid.eig_lam[None, :, None] + kk)
+    rows = jnp.asarray([0, 1, n - 2, n - 1])
+    A4 = grid.eig_A[rows].astype(rhs.dtype)
+    p4_hat = jnp.einsum("ab,xbz->xaz", A4, y)
+    p00 = grid.Pinv00[rows].astype(rhs.dtype) @ rhs_hat[0, :, 0]
+    p4_hat = p4_hat.at[0, :, 0].set(p00)
+    P4 = jnp.fft.irfft(jnp.fft.ifft(p4_hat, axis=0), n=grid.Nz, axis=2)
+    p1 = -0.5 * (P4[:, 0, :] + P4[:, 1, :])
+    p2 = -0.5 * (P4[:, 3, :] + P4[:, 2, :])
     return p1, p2
 
 

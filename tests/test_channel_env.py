@@ -210,6 +210,19 @@ def test_refinement_recovers_f32_accuracy():
     assert rel < 1e-5
 
 
+def test_boundary_pressure_fast_path_matches_full_solve():
+    grid = small_grid()
+    state = cf.init_state(grid, key=jax.random.PRNGKey(5), noise=0.02)
+    P = cf.compute_pressure(grid, state)
+    p1_full = -0.5 * (P[:, 0, :] + P[:, 1, :])
+    p2_full = -0.5 * (P[:, -1, :] + P[:, -2, :])
+    p1, p2 = cf.boundary_pressures(grid, state)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p1_full),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p2_full),
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_env_contract():
     env = NSControlEnv(Nx=8, Ny=17, Nz=8, detect_plane=3, dtype=jnp.float64,
                        noise_scale=0.01)
