@@ -1,4 +1,6 @@
 from .loop import closed_loop_chunk, run_closed_loop
-from .policies import make_policy
+from .policies import (StatefulPolicy, make_optimal_policy_observer,
+                       make_policy)
 
-__all__ = ["closed_loop_chunk", "run_closed_loop", "make_policy"]
+__all__ = ["closed_loop_chunk", "run_closed_loop", "make_policy",
+           "StatefulPolicy", "make_optimal_policy_observer"]

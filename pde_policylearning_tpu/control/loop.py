@@ -20,19 +20,25 @@ from ..envs import channel_flow as cf
 
 @partial(jax.jit, static_argnames=("policy_fn", "n_steps", "collect_planes"))
 def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
-                      key, collect_planes: bool = False):
+                      key, collect_planes: bool = False, policy_carry=None):
+    stateful = policy_carry is not None
+
     def body(carry, k):
-        st, p2_obs = carry
-        opV1, opV2 = policy_fn(st, p2_obs, k)
+        st, p2_obs, pc = carry
+        if stateful:
+            opV1, opV2, pc = policy_fn(pc, st, p2_obs, k)
+        else:
+            opV1, opV2 = policy_fn(st, p2_obs, k)
         st = cf.rk3_step(grid, st, opV1, opV2)
         _, p2_next = cf.boundary_pressures(grid, st)
         info = cf.step_metrics(grid, st, p2_next)
         out = (info, p2_next, opV2) if collect_planes else (info,)
-        return (st, p2_next), out
+        return (st, p2_next, pc), out
 
     keys = jax.random.split(key, n_steps)
-    (state, p2), outs = jax.lax.scan(body, (state, p2), keys)
-    return state, p2, outs
+    (state, p2, policy_carry), outs = jax.lax.scan(
+        body, (state, p2, policy_carry), keys)
+    return state, p2, policy_carry, outs
 
 
 def run_closed_loop(env, policy_fn, n_steps: int,
@@ -53,12 +59,18 @@ def run_closed_loop(env, policy_fn, n_steps: int,
     all_infos = []
     all_p2, all_op = [], []
     done = 0
+    policy_carry = getattr(policy_fn, "init_carry", None)
+    stateful = policy_carry is not None
+    if stateful:
+        policy_fn_inner = policy_fn.step_fn
+    else:
+        policy_fn_inner = policy_fn
     while done < n_steps:
         n = min(log_interval, n_steps - done)
         key, sub = jax.random.split(key)
-        env.state, p2, outs = closed_loop_chunk(
-            env.grid, env.state, p2, policy_fn, n, sub,
-            collect_planes=collect_planes)
+        env.state, p2, policy_carry, outs = closed_loop_chunk(
+            env.grid, env.state, p2, policy_fn_inner, n, sub,
+            collect_planes=collect_planes, policy_carry=policy_carry)
         outs = jax.device_get(outs)
         infos = outs[0]
         all_infos.append(infos)

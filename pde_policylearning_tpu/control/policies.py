@@ -20,6 +20,63 @@ import optax
 from ..envs import channel_flow as cf
 
 
+class StatefulPolicy:
+    """A policy with a learnable carry threaded through the control scan
+    (e.g. online policy-model adaptation)."""
+
+    def __init__(self, init_carry, step_fn):
+        self.init_carry = init_carry
+        self.step_fn = step_fn
+
+    def __call__(self, carry, state, p2, key):
+        return self.step_fn(carry, state, p2, key)
+
+
+def make_optimal_policy_observer(grid, *, observer_model, observer_params,
+                                 policy_model, policy_params,
+                                 detect_plane: int = 25, re: float = 178.19,
+                                 opt_lr: float = 1e-4, opt_steps: int = 3,
+                                 reg_weight: float = 0.1) -> StatefulPolicy:
+    """'optimal-policy-observer' (run_control.py:162-185): each control step
+    runs a few Adam updates on a residual PolicyModel2D through the frozen
+    full-field observer, then actuates gt + residual.  The policy params and
+    optimizer state ride in the scan carry — the whole adaptive control loop
+    stays on device."""
+    opt = optax.adam(opt_lr)
+    re_arr = jnp.asarray([re], jnp.float32)
+
+    def to_field(plane):
+        # (X, Z) -> (1, X, Z, 1, 1) time-slab input
+        return plane[None, :, :, None, None]
+
+    def objective(pp, p2_in, opV2_in):
+        res = policy_model.apply({"params": pp}, p2_in, re_arr)
+        pred = observer_model.apply({"params": observer_params},
+                                    opV2_in + res, re_arr)
+        return (jnp.linalg.norm(pred)
+                + reg_weight * jnp.linalg.norm(opV2_in + res))
+
+    def step_fn(carry, state, p2, key):
+        pp, opt_state = carry
+        opV1, opV2_gt = cf.gt_control(state, detect_plane)
+        p2_in = to_field(p2.astype(jnp.float32))
+        opV2_in = to_field(opV2_gt.astype(jnp.float32))
+
+        def body(i, c):
+            pp, s = c
+            g = jax.grad(objective)(pp, p2_in, opV2_in)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(pp, up), s)
+
+        pp, opt_state = jax.lax.fori_loop(0, opt_steps, body,
+                                          (pp, opt_state))
+        res = policy_model.apply({"params": pp}, p2_in, re_arr)
+        opV2 = opV2_gt + res.reshape(opV2_gt.shape).astype(opV2_gt.dtype)
+        return opV1, opV2, (pp, opt_state)
+
+    return StatefulPolicy((policy_params, opt.init(policy_params)), step_fn)
+
+
 def make_policy(name: str, grid, *, detect_plane: int = 25,
                 model=None, params=None, p_norm=None, v_norm=None,
                 rand_scale: float = 1.0, model_timestep: int = 1,

@@ -1,0 +1,115 @@
+"""Physics-informed full-field observer training.
+
+reference: run_pde_observers.py:200-239 (FullFieldNSDataset branch):
+boundary v-plane -> PINObserverFullField multi-plane prediction, trained
+with decoded rel-L2 data loss + the channel env's RHS-difference pde_loss
+(control_env.py:627-633) weighted by `pde_loss_weight`.
+
+The env physics term runs in-graph: predictions are scattered into the true
+V field and the momentum RHS difference is computed with the same
+`compute_rhs` used by the DNS — vmapped over batch and time.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..envs import channel_flow as cf
+
+
+def pde_loss_fields(grid, U, V_true, V_pred, W, dPdx):
+    """||RHS(U, V_true, W) - RHS(U, V_pred, W)|| (control_env.py:627-633)."""
+    Fu_t, Fv_t, Fw_t = cf.compute_rhs(grid, U, V_true, W, dPdx)
+    Fu_p, Fv_p, Fw_p = cf.compute_rhs(grid, U, V_pred, W, dPdx)
+    return (jnp.linalg.norm(Fu_t - Fu_p) + jnp.linalg.norm(Fv_t - Fv_p)
+            + jnp.linalg.norm(Fw_t - Fw_p))
+
+
+def train_fullfield_observer(model, dataset, grid, *, plane_indexs,
+                             n_epochs=10, batch_size=2, learning_rate=1e-3,
+                             pde_loss_weight=0.0, rng=None, verbose=True):
+    """dataset: FullFieldNSDataset.  Returns (params, history)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    v_plane = jnp.asarray(dataset.v_plane, jnp.float32)   # (N, T, X, Z)
+    v_field = jnp.asarray(dataset.v_field, jnp.float32)   # (N, T, P, X, Z)
+    U = jnp.asarray(dataset.U, jnp.float32)
+    V = jnp.asarray(dataset.V, jnp.float32)
+    W = jnp.asarray(dataset.W, jnp.float32)
+    dpdx = jnp.asarray(dataset.dpdx, jnp.float32)
+    re = jnp.full((v_plane.shape[0],), float(dataset.re), jnp.float32)
+    norm = dataset.bound_v_norm
+    plane_idx = jnp.asarray(plane_indexs)
+
+    N, T = v_plane.shape[0], v_plane.shape[1]
+    opt = optax.adam(learning_rate)
+    rng, init_rng = jax.random.split(rng)
+    x0 = jnp.moveaxis(v_plane[:1], 1, -1)[..., None]  # (1, X, Z, T, 1)
+    params = jax.jit(model.init)(init_rng, x0, re[:1])["params"]
+    opt_state = opt.init(params)
+
+    def loss_fn(p, vp, vf, Ub, Vb, Wb, dpdxb, reb):
+        x = jnp.moveaxis(vp, 1, -1)[..., None]          # (B, X, Z, T, 1)
+        pred = model.apply({"params": p}, x, reb)       # (B, P, X, Z, T)
+        pred = jnp.moveaxis(pred, -1, 1)                # (B, T, P, X, Z)
+        pred_dec = norm.decode(pred).astype(vp.dtype)
+        target_dec = norm.decode(vf).astype(vp.dtype)
+        b = pred.shape[0]
+        data_loss = jnp.mean(
+            jnp.linalg.norm(pred_dec.reshape(b, -1)
+                            - target_dec.reshape(b, -1), axis=1)
+            / (jnp.linalg.norm(target_dec.reshape(b, -1), axis=1) + 1e-12))
+        if pde_loss_weight <= 0:
+            return data_loss, (data_loss, 0.0)
+
+        def sample_pde(Ui, Vi, Wi, pred_i, dpdx_i):
+            # scatter predicted planes into the true V field, per timestep
+            def per_t(Ut, Vt, Wt, pt, dt_):
+                V_pred = Vt.at[:, plane_idx, :].set(
+                    jnp.moveaxis(pt, 0, 1))
+                return pde_loss_fields(grid, Ut, Vt, V_pred, Wt, dt_)
+            return jnp.mean(jax.vmap(per_t)(Ui, Vi, Wi, pred_i, dpdx_i))
+
+        pde = jnp.mean(jax.vmap(sample_pde)(Ub, Vb, Wb, pred_dec, dpdxb))
+        return data_loss + pde_loss_weight * pde, (data_loss, pde)
+
+    n_batches = max(1, N // batch_size)
+
+    @jax.jit
+    def run_epoch(params, opt_state, key, arrays):
+        v_plane, v_field, U, V, W, dpdx, re = arrays
+        perm = jax.random.permutation(key, N)[:n_batches * batch_size]
+        perm = perm.reshape(n_batches, batch_size)
+
+        def step(carry, idx):
+            p, s = carry
+            (total, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, v_plane[idx], v_field[idx], U[idx], V[idx], W[idx],
+                dpdx[idx], re[idx])
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(p, up), s), (total, *aux)
+
+        (params, opt_state), metrics = jax.lax.scan(
+            step, (params, opt_state), perm)
+        return params, opt_state, metrics
+
+    arrays = (v_plane, v_field, U, V, W, dpdx, re)
+    history = {"total": [], "data": [], "pde": []}
+    for epoch in range(n_epochs):
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        params, opt_state, metrics = run_epoch(params, opt_state, sub,
+                                               arrays)
+        metrics = jax.device_get(metrics)
+        for name, vals in zip(["total", "data", "pde"], metrics):
+            history[name].append(float(np.mean(vals)))
+        if verbose:
+            print(f"epoch {epoch + 1}/{n_epochs}: total "
+                  f"{history['total'][-1]:.4f} data "
+                  f"{history['data'][-1]:.4f} pde {history['pde'][-1]:.4f} "
+                  f"({(time.perf_counter() - t0):.2f}s)")
+    return params, history

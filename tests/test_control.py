@@ -61,6 +61,33 @@ def test_optimal_observer_policy(env):
     assert np.isfinite(res["opV2"]).all()
 
 
+def test_optimal_policy_observer(env):
+    """Online policy-model adaptation through a frozen full-field observer
+    (run_control.py:162-185)."""
+    from pde_policylearning_tpu.control import make_optimal_policy_observer
+
+    obs = models.PINObserverFullField(
+        plane_num=2, modes1=(2, 2), modes2=(2, 2), modes3=(1, 1),
+        layers=(8, 8, 8), fc_dim=8, in_dim=1)
+    x0 = jnp.zeros((1, 8, 8, 1, 1))
+    re0 = jnp.ones((1,))
+    obs_params = obs.init(jax.random.PRNGKey(0), x0, re0)["params"]
+    pol = models.PolicyModel2D(
+        modes1=(2, 2), modes2=(2, 2), modes3=(1, 1), layers=(8, 8, 8),
+        fc_dim=8, in_dim=1)
+    pol_params = pol.init(jax.random.PRNGKey(1), x0, re0)["params"]
+    pol_params = pol.zero_init_params(pol_params)
+
+    policy = make_optimal_policy_observer(
+        env.grid, observer_model=obs, observer_params=obs_params,
+        policy_model=pol, policy_params=pol_params, detect_plane=3,
+        opt_steps=2)
+    res = run_closed_loop(env, policy, n_steps=3, log_interval=3,
+                          verbose=False, collect_planes=True)
+    assert np.isfinite(res["opV2"]).all()
+    assert res["opV2"].shape == (3, 8, 8)
+
+
 def test_divergence_guard():
     env = NSControlEnv(Nx=8, Ny=17, Nz=8, detect_plane=3,
                        dtype=jnp.float64)
