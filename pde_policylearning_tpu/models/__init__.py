@@ -3,6 +3,11 @@ from .fno import (FNO, FNO1d, FNO2d, FNO3d, TFNO, TFNO1d, TFNO2d, TFNO3d,
                   FNOBlocks)
 from .layers import (AdaIN, ChannelMLP, GroupNorm, Lifting, Projection,
                      SkipConnection, SoftGating, instance_norm)
+from .deeponet import DeepONetCartesianProd
+from .dino import Decoder as DINoDecoder
+from .dino import Derivative as DINoDerivative
+from .dino import SetEncoder, SwishMLP, odeint_rk4
+from .graph import GAT, GCN, GraphAttention, GraphConvolution
 from .mfn import FourierNet, MFNFourierLayer, MultiplicativeNet
 from .observers import FNO2dObserver, RNO2dObserver, UNet, make_grid
 from .pino import (DenseNet, LowRank2d, PINObserver2d, PINObserverFullField,
@@ -35,4 +40,7 @@ __all__ = [
     "SimpleTransformerEncoderLayer", "attention", "causal_linear_attention",
     "freq_attention", "linear_attention", "positional_encoding", "UNO",
     "SFNO", "SphericalConv",
+    "DeepONetCartesianProd", "DINoDecoder", "DINoDerivative", "SetEncoder",
+    "SwishMLP", "odeint_rk4", "GAT", "GCN", "GraphAttention",
+    "GraphConvolution",
 ]

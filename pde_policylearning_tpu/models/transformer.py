@@ -307,14 +307,26 @@ class SimpleTransformer(nn.Module):
     dropout: float = 0.05
     decoder_dropout: float = 0.0
     regressor_activation: str = "silu"
+    feat_extract_type: Optional[str] = None  # None | 'gcn' | 'gat'
+    num_feat_layers: int = 2
 
     @nn.compact
     def __call__(self, node, v_plane=None, pos=None, grid=None, weight=None,
-                 deterministic=True):
+                 edge=None, deterministic=True):
         """node: (B, T, H, W, D) -> (B, T, H, W, n_targets)."""
         B, T, H, W, D = node.shape
         x = node.reshape(B, -1, D)
-        x = nn.Dense(self.n_hidden, name="feat_extract")(x)
+        if self.feat_extract_type == "gcn" and edge is not None:
+            from .graph import GCN
+            x = GCN(self.n_hidden, self.num_feat_layers,
+                    name="feat_extract")(x, edge)
+        elif self.feat_extract_type == "gat" and edge is not None:
+            from .graph import GAT
+            x = GAT(self.n_hidden, self.num_feat_layers,
+                    name="feat_extract")(x, edge,
+                                         deterministic=deterministic)
+        else:
+            x = nn.Dense(self.n_hidden, name="feat_extract")(x)
         res = x
         dimff = self.dim_feedforward or 2 * self.n_hidden
         for i in range(self.num_encoder_layers):
