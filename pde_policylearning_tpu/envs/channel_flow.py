@@ -50,7 +50,13 @@ class ChannelGrid:
     eig_A: jnp.ndarray   # (Ny-1, Ny-1)
     eig_B: jnp.ndarray   # (Ny-1, Ny-1)
     eig_lam: jnp.ndarray  # (Ny-1,)
-    Pinv00: jnp.ndarray  # (Ny-1, Ny-1) inverse of the regularized (0,0) mode
+    # Regularized (0,0)-mode solve, diagonally equilibrated for f32: the
+    # raw inverse-multiply suffers catastrophic cancellation because the
+    # graded mesh gives the rhs ~1e5 dynamic range across y; solving
+    # (S D S) q = S r with S = 1/sqrt(|diag|) keeps every intermediate
+    # O(1).  p = S (Pinv00_eq @ (S r)).
+    Pinv00_eq: jnp.ndarray  # (Ny-1, Ny-1)
+    s00: jnp.ndarray        # (Ny-1,)
     DD_diag: jnp.ndarray  # (Ny-1,) tridiagonal Poisson operator (for refine)
     DD_lower: jnp.ndarray  # (Ny-2,)
     DD_upper: jnp.ndarray  # (Ny-2,)
@@ -139,10 +145,12 @@ def make_channel_grid(Nx: int = 32, Ny: int = 130, Nz: int = 32,
     eig_A = Q / s[:, None]
     eig_B = Q.T * s[None, :]
     # the horizontally-averaged (0,0) mode uses the 1.5*D[0,0]
-    # regularization (control_env.py:598-599): dedicated small inverse
+    # regularization (control_env.py:598-599): dedicated equilibrated
+    # inverse (see ChannelGrid.Pinv00_eq)
     D00 = DD.copy()
     D00[0, 0] *= 1.5
-    Pinv00 = np.linalg.inv(D00)
+    s00 = 1.0 / np.sqrt(np.abs(np.diag(D00)))
+    Pinv00_eq = np.linalg.inv((s00[:, None] * D00) * s00[None, :])
 
     if refine_steps is None:
         refine_steps = 0 if dtype == jnp.float64 else 1
@@ -151,7 +159,7 @@ def make_channel_grid(Nx: int = 32, Ny: int = 130, Nz: int = 32,
         y=as_dt(y), ym=as_dt(ym), yg=as_dt(yg),
         kxx=as_dt(kxx), kzz=as_dt(kzz),
         eig_A=as_dt(eig_A), eig_B=as_dt(eig_B), eig_lam=as_dt(lam),
-        Pinv00=as_dt(Pinv00),
+        Pinv00_eq=as_dt(Pinv00_eq), s00=as_dt(s00),
         DD_diag=as_dt(diag), DD_lower=as_dt(lower), DD_upper=as_dt(upper),
         dx=float(dx), dz=float(dz), dt=float(dt), nu=float(nu),
         Nx=Nx, Ny=Ny, Nz=Nz, refine_steps=int(refine_steps),
@@ -255,49 +263,92 @@ def divergence(grid: ChannelGrid, U, V, W):
     return ux + uy + uz
 
 
-def _tridiag_apply(grid: ChannelGrid, kk, p_hat):
-    """(DD + kk I) @ p_hat along the y axis; p_hat (Nx, n, Nzr) complex,
-    kk (Nx, 1, Nzr)."""
+def _tridiag_apply(grid: ChannelGrid, kk, P):
+    """(DD + kk I) @ P along the y axis; P real-stacked (2, Nx, n, Nzr)
+    (or complex (Nx, n, Nzr) — broadcasting handles both), kk
+    (Nx, 1, Nzr)."""
     d = grid.DD_diag[None, :, None] + kk
     lo = grid.DD_lower[None, :, None]
     up = grid.DD_upper[None, :, None]
-    out = d * p_hat
-    out = out.at[:, 1:, :].add(lo * p_hat[:, :-1, :])
-    out = out.at[:, :-1, :].add(up * p_hat[:, 1:, :])
+    y_axis = P.ndim - 2
+    pad_lo = [(0, 0)] * P.ndim
+    pad_lo[y_axis] = (1, 0)
+    pad_up = [(0, 0)] * P.ndim
+    pad_up[y_axis] = (0, 1)
+    sl_lo = [slice(None)] * P.ndim
+    sl_lo[y_axis] = slice(None, -1)
+    sl_up = [slice(None)] * P.ndim
+    sl_up[y_axis] = slice(1, None)
+    out = d * P
+    out = out + jnp.pad(lo * P[tuple(sl_lo)], pad_lo)
+    out = out + jnp.pad(up * P[tuple(sl_up)], pad_up)
     return out
 
 
-def _eig_solve(grid: ChannelGrid, rhs_hat, kk):
-    """(DD + kk)^-1 rhs_hat via the shared eigen-factorization: two dense
+def _solve00_real(grid: ChannelGrid, R00):
+    """Equilibrated regularized (0,0)-mode solve on a real-stacked rhs
+    R00 (2, n): p = S Pinv_eq (S r), real arithmetic only."""
+    s = grid.s00.astype(R00.dtype)
+    return s[None, :] * jnp.einsum(
+        "ab,cb->ca", grid.Pinv00_eq.astype(R00.dtype), s[None, :] * R00)
+
+
+def _set_mode00_real(grid: ChannelGrid, P, p00):
+    """P[:, 0, :, 0] <- p00 (both real-stacked) via one-hot mask blending.
+
+    NOTE: complex scatters/matmuls miscompile under vmap on this TPU
+    backend (observed: garbage magnitudes only in vmapped runs), which is
+    why the whole solve path is real-stacked with masks."""
+    Nzr = grid.Nz // 2 + 1
+    mask_x = jnp.zeros((grid.Nx, 1, 1), P.dtype).at[0].set(1.0)
+    mask_z = jnp.zeros((1, 1, Nzr), P.dtype).at[..., 0].set(1.0)
+    mask = (mask_x * mask_z)[None]
+    return P * (1.0 - mask) + p00[:, None, :, None] * mask
+
+
+def _eig_solve_real(grid: ChannelGrid, R, kk):
+    """(DD + kk)^-1 on a real-stacked spectrum R (2, Nx, n, Nzr): two dense
     matmuls over y + a diagonal divide — MXU-shaped, ~66 KB of operator
     reads vs the reference's 1024 independent dense solves
     (control_env.py:593-602)."""
-    y = jnp.einsum("ab,xbz->xaz", grid.eig_B.astype(rhs_hat.real.dtype),
-                   rhs_hat)
-    y = y / (grid.eig_lam[None, :, None] + kk)
-    return jnp.einsum("ab,xbz->xaz", grid.eig_A.astype(rhs_hat.real.dtype),
-                      y)
+    y = jnp.einsum("ab,cxbz->cxaz", grid.eig_B.astype(R.dtype), R)
+    denom = grid.eig_lam[None, :, None] + kk
+    # the near-null eigenvalue at kk=0 (Neumann mean mode) would produce
+    # inf; that column is replaced by the dedicated regularized solve, but
+    # it must stay finite so masked blending can't create 0*inf = NaN
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    y = y / denom[None]
+    return jnp.einsum("ab,cxbz->cxaz", grid.eig_A.astype(R.dtype), y)
 
 
 def poisson_solve(grid: ChannelGrid, rhs):
     """Solve (d_yy + kxx + kzz) p = rhs: rfft over z, fft over x, shared
     eigen-solve over y; the regularized (0,0) mean mode
-    (1.5*D[0,0], control_env.py:598-599) gets its dedicated inverse."""
+    (1.5*D[0,0], control_env.py:598-599) gets its dedicated inverse.
+    The spectral solve runs on a real-stacked (re, im) axis — complex
+    matmuls/scatters are avoided entirely (backend miscompiles them under
+    vmap)."""
     Nzr = grid.Nz // 2 + 1
     rhs_hat = jnp.fft.fft(jnp.fft.rfft(rhs, axis=2), axis=0)  # (Nx, n, Nzr)
+    R = jnp.stack([rhs_hat.real, rhs_hat.imag])   # (2, Nx, n, Nzr)
     kk = (grid.kxx[:, None, None]
           + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
-    p_hat = _eig_solve(grid, rhs_hat, kk)
-    p00 = grid.Pinv00.astype(rhs.dtype) @ rhs_hat[0, :, 0]
-    p_hat = p_hat.at[0, :, 0].set(p00)
+    P = _eig_solve_real(grid, R, kk)
+    P = _set_mode00_real(grid, P, _solve00_real(grid, R[:, 0, :, 0]))
     if grid.refine_steps:
+        m_x = jnp.zeros((grid.Nx, 1, 1), rhs.dtype).at[0].set(1.0)
+        m_z = jnp.zeros((1, 1, Nzr), rhs.dtype).at[..., 0].set(1.0)
+        m_y = jnp.zeros((1, grid.Ny - 1, 1), rhs.dtype).at[:, 0].set(1.0)
+        m000 = (m_x * m_z * m_y)[None]
         for _ in range(grid.refine_steps):
-            r = rhs_hat - _tridiag_apply(grid, kk, p_hat)
-            r = r.at[0, 0, 0].add(-0.5 * grid.DD_diag[0] * p_hat[0, 0, 0])
-            corr = _eig_solve(grid, r, kk)
-            corr = corr.at[0, :, 0].set(
-                grid.Pinv00.astype(rhs.dtype) @ r[0, :, 0])
-            p_hat = p_hat + corr
+            r = R - _tridiag_apply(grid, kk, P)
+            # regularization correction at the (0,0,0) entry, mask-blended
+            r = r - m000 * (0.5 * grid.DD_diag[0]) * P
+            corr = _eig_solve_real(grid, r, kk)
+            corr = _set_mode00_real(grid, corr,
+                                    _solve00_real(grid, r[:, 0, :, 0]))
+            P = P + corr
+    p_hat = jax.lax.complex(P[0], P[1])
     return jnp.fft.irfft(jnp.fft.ifft(p_hat, axis=0), n=grid.Nz, axis=2)
 
 
@@ -348,15 +399,22 @@ def boundary_pressures(grid: ChannelGrid, state: ChannelState):
     Nzr = grid.Nz // 2 + 1
     n = grid.Ny - 1
     rhs_hat = jnp.fft.fft(jnp.fft.rfft(rhs, axis=2), axis=0)
+    R = jnp.stack([rhs_hat.real, rhs_hat.imag])
     kk = (grid.kxx[:, None, None]
           + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
-    y = jnp.einsum("ab,xbz->xaz", grid.eig_B.astype(rhs.dtype), rhs_hat)
-    y = y / (grid.eig_lam[None, :, None] + kk)
+    y = jnp.einsum("ab,cxbz->cxaz", grid.eig_B.astype(rhs.dtype), R)
+    denom = grid.eig_lam[None, :, None] + kk
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    y = y / denom[None]
     rows = jnp.asarray([0, 1, n - 2, n - 1])
     A4 = grid.eig_A[rows].astype(rhs.dtype)
-    p4_hat = jnp.einsum("ab,xbz->xaz", A4, y)
-    p00 = grid.Pinv00[rows].astype(rhs.dtype) @ rhs_hat[0, :, 0]
-    p4_hat = p4_hat.at[0, :, 0].set(p00)
+    P4s = jnp.einsum("ab,cxbz->cxaz", A4, y)
+    p00 = _solve00_real(grid, R[:, 0, :, 0])[:, rows]
+    mask_x = jnp.zeros((grid.Nx, 1, 1), rhs.dtype).at[0].set(1.0)
+    mask_z = jnp.zeros((1, 1, Nzr), rhs.dtype).at[..., 0].set(1.0)
+    mask = (mask_x * mask_z)[None]
+    P4s = P4s * (1.0 - mask) + p00[:, None, :, None] * mask
+    p4_hat = jax.lax.complex(P4s[0], P4s[1])
     P4 = jnp.fft.irfft(jnp.fft.ifft(p4_hat, axis=0), n=grid.Nz, axis=2)
     p1 = -0.5 * (P4[:, 0, :] + P4[:, 1, :])
     p2 = -0.5 * (P4[:, 3, :] + P4[:, 2, :])
@@ -538,3 +596,31 @@ def rollout(grid: ChannelGrid, state: ChannelState, n_steps: int,
 
     keys = jax.random.split(key, n_steps)
     return jax.lax.scan(body, state, keys, length=n_steps)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "detect_plane", "policy",
+                                   "collect_fields"))
+def batched_rollout(grid: ChannelGrid, states: ChannelState, n_steps: int,
+                    detect_plane: int = 25, policy: str = "gt",
+                    keys: Optional[jnp.ndarray] = None,
+                    collect_fields: bool = False):
+    """vmap the closed-loop rollout over a batch of independent environments
+    (leading batch axis on every ChannelState leaf).  Amortizes the
+    many-small-kernels cost of a single 32x130x32 step across envs — the
+    data-collection throughput multiplier the reference's sequential MATLAB
+    loop cannot express."""
+    B = states.U.shape[0]
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+    return jax.vmap(
+        lambda s, k: rollout(grid, s, n_steps, detect_plane=detect_plane,
+                             policy=policy, key=k,
+                             collect_fields=collect_fields))(states, keys)
+
+
+def init_batched_states(grid: ChannelGrid, n_envs: int, key,
+                        noise: float = 0.05,
+                        dPdx: float = DEFAULT_DPDX) -> ChannelState:
+    keys = jax.random.split(key, n_envs)
+    return jax.vmap(
+        lambda k: init_state(grid, key=k, noise=noise, dPdx=dPdx))(keys)

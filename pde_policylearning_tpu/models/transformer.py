@@ -351,15 +351,31 @@ class SimpleTransformer(nn.Module):
         return x.reshape(B, T, H, W, self.n_targets)
 
 
+class Conv2dResBlock(nn.Module):
+    """conv -> act -> conv + residual (attention_layers.py:132)."""
+    out_dim: int
+    activation: str = "silu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = {"relu": nn.relu, "silu": nn.silu}[self.activation]
+        res = x if x.shape[-1] == self.out_dim else nn.Dense(
+            self.out_dim, name="proj")(x)
+        h = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv1")(x)
+        h = act(h)
+        h = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv2")(h)
+        return act(h + res)
+
+
 class DownScaler(nn.Module):
-    """Conv + interpolation down-scaling (transformer_models.py:394)."""
+    """Conv-res-block + interpolation down-scaling
+    (transformer_models.py:394)."""
     out_dim: int
     scale_factor: float = 0.5
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv")(x)
-        x = nn.silu(x)
+        x = Conv2dResBlock(self.out_dim, name="conv")(x)
         B, H, W, C = x.shape
         new = (B, int(round(H * self.scale_factor)),
                int(round(W * self.scale_factor)), C)

@@ -104,6 +104,147 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
     return params, history
 
 
+def mixed_train(model, data, *, iterations=1000, batch_size=4,
+                eq_batch_size=4, learning_rate=1e-3, xy_weight=5.0,
+                ic_weight=1.0, f_weight=1.0, t_interval=1.0, S=None,
+                params=None, rng=None, log_interval=200, verbose=True):
+    """Alternate data-loss iterations with equation-only iterations on
+    random GRF initial conditions (train_3d.py:125-250 mixed_train): the
+    physics loss needs no labels, so fresh ICs regularize beyond the
+    dataset."""
+    from ..data.synthetic import gaussian_rf_2d
+    from ..data.pino_datasets import get_grid3d
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    u, a, re = data
+    n = u.shape[0]
+    S = S or u.shape[1]
+    T = u.shape[3]
+    forcing = get_forcing(S)
+    lp = SimpleLpLoss(size_average=True)
+    opt = optax.adam(learning_rate)
+    if params is None:
+        rng, init_rng = jax.random.split(rng)
+        params = jax.jit(model.init)(init_rng, a[:1], re[:1])["params"]
+    opt_state = opt.init(params)
+    gx, gy, gt = get_grid3d(S, T)
+    grid3 = jnp.asarray(np.concatenate([gx, gy, gt], axis=-1),
+                        jnp.float32)  # (1, S, S, T, 3)
+
+    def data_loss_fn(p, ab, ub, reb):
+        out = model.apply({"params": p}, ab, reb).squeeze(-1)
+        dl = lp(out, ub)
+        u0 = ab[..., 0, -1]
+        ic, f = pino_loss_3d(out, u0, forcing, 1.0 / reb, t_interval)
+        return xy_weight * dl + ic_weight * ic + f_weight * f
+
+    def eq_loss_fn(p, w0, reb):
+        B = w0.shape[0]
+        a_in = jnp.concatenate(
+            [jnp.broadcast_to(grid3, (B, S, S, T, 3)),
+             jnp.broadcast_to(w0[..., None, None], (B, S, S, T, 1))],
+            axis=-1)
+        out = model.apply({"params": p}, a_in, reb).squeeze(-1)
+        ic, f = pino_loss_3d(out, w0, forcing, 1.0 / reb, t_interval)
+        return ic_weight * ic + f_weight * f
+
+    @jax.jit
+    def run_pair(params, opt_state, key, u, a, re):
+        k1, k2, k3 = jax.random.split(key, 3)
+        idx = jax.random.choice(k1, n, (batch_size,), replace=False)
+        dl, g = jax.value_and_grad(data_loss_fn)(params, a[idx], u[idx],
+                                                 re[idx])
+        up, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, up)
+        w0 = gaussian_rf_2d(k2, S, eq_batch_size).astype(jnp.float32)
+        re_s = jax.random.choice(k3, re, (eq_batch_size,))
+        el, g2 = jax.value_and_grad(eq_loss_fn)(params, w0, re_s)
+        up2, opt_state = opt.update(g2, opt_state)
+        return optax.apply_updates(params, up2), opt_state, dl, el
+
+    history = {"data": [], "eq": []}
+    for i in range(iterations):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, dl, el = run_pair(params, opt_state, sub,
+                                             u, a, re)
+        if (i + 1) % log_interval == 0:
+            dl, el = float(dl), float(el)
+            history["data"].append(dl)
+            history["eq"].append(el)
+            if verbose:
+                print(f"iter {i + 1}/{iterations}: data {dl:.4f} "
+                      f"eq {el:.4f}")
+    return params, history
+
+
+def progressive_train(model, datasets, *, iters_per_stage=1000, **kwargs):
+    """Train through progressively finer datasets (train_3d.py:258):
+    `datasets` is a list of (u, a, re) tuples ordered coarse -> fine."""
+    params = kwargs.pop("params", None)
+    history = []
+    for stage, data in enumerate(datasets):
+        params, h = train_ns(model, data, iterations=iters_per_stage,
+                             params=params, **kwargs)
+        history.append(h)
+    return params, history
+
+
+def train_2d_burger(model, data, *, iterations=1000, batch_size=8,
+                    learning_rate=1e-3, visc=0.01, ic_weight=5.0,
+                    f_weight=1.0, data_weight=1.0, params=None, rng=None,
+                    verbose=True, log_interval=200):
+    """Burgers PINO training (train_2d.py:119): data rel-L2 + IC MSE +
+    spectral FDM residual.  data: (u0 (N, nx), u (N, nt, nx))."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    u0, u = data
+    n = u0.shape[0]
+    lp = SimpleLpLoss(size_average=True)
+    opt = optax.adam(learning_rate)
+    nt = u.shape[1]
+    if params is None:
+        rng, init_rng = jax.random.split(rng)
+        x0 = jnp.broadcast_to(u0[:1, None, :, None],
+                              (1, nt, u0.shape[1], 1))
+        params = jax.jit(model.init)(init_rng, x0)["params"]
+    opt_state = opt.init(params)
+
+    def loss_fn(p, u0b, ub):
+        nt, nx = ub.shape[1], ub.shape[2]
+        x_in = jnp.broadcast_to(u0b[:, None, :, None],
+                                (u0b.shape[0], nt, nx, 1))
+        out = model.apply({"params": p}, x_in).squeeze(-1)
+        dl = lp(out, ub)
+        ic, f = pino_loss_burgers(out, u0b, visc)
+        return data_weight * dl + ic_weight * ic + f_weight * f, (dl, ic, f)
+
+    @jax.jit
+    def run_chunk(params, opt_state, keys, u0, u):
+        def step(carry, key):
+            p, s = carry
+            idx = jax.random.choice(key, n, (batch_size,), replace=False)
+            (total, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, u0[idx], u[idx])
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(p, up), s), (total, *aux)
+
+        return jax.lax.scan(step, (params, opt_state), keys)
+
+    history = {"total": []}
+    done = 0
+    while done < iterations:
+        k = min(log_interval, iterations - done)
+        rng, sub = jax.random.split(rng)
+        (params, opt_state), metrics = run_chunk(
+            params, opt_state, jax.random.split(sub, k), u0, u)
+        history["total"].extend(
+            np.asarray(jax.device_get(metrics[0])).tolist())
+        done += k
+        if verbose:
+            print(f"iter {done}/{iterations}: total "
+                  f"{history['total'][-1]:.4f}")
+    return params, history
+
+
 def eval_ns(model, params, data, batch_size: int = 8):
     """Mean relative L2 on held-out trajectories (eval_3d.py:15)."""
     u, a, re = data

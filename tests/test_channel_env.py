@@ -259,6 +259,35 @@ def test_step_n_matches_step():
         info_single["drag_reduction/2_1_mass_flow"], rtol=1e-9)
 
 
+def test_vmapped_step_matches_single():
+    """Batched (vmap) stepping must agree with per-env stepping — guards
+    the complex-arithmetic-under-vmap backend bug class (the solve path is
+    real-stacked for this reason, see channel_flow poisson_solve)."""
+    grid = small_grid()
+    states = cf.init_batched_states(grid, 3, jax.random.PRNGKey(0),
+                                    noise=0.02)
+    z = jnp.zeros((3, 8, 8))
+    stepped = jax.vmap(lambda s, o: cf.rk3_step(grid, s, o, o))(states, z)
+    for lane in range(3):
+        s1 = jax.tree.map(lambda a: a[lane], states)
+        t1 = cf.rk3_step(grid, s1, z[0], z[0])
+        np.testing.assert_allclose(np.asarray(stepped.U[lane]),
+                                   np.asarray(t1.U), rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(float(stepped.dPdx[lane]),
+                                   float(t1.dPdx), rtol=1e-8)
+
+
+def test_batched_rollout():
+    grid = small_grid()
+    states = cf.init_batched_states(grid, 2, jax.random.PRNGKey(1),
+                                    noise=0.02)
+    s2, outs = cf.batched_rollout(grid, states, 4, detect_plane=3,
+                                  policy="gt")
+    p2s = outs[0]
+    assert p2s.shape == (2, 4, 8, 8)
+    assert bool(jnp.isfinite(s2.U).all())
+
+
 def test_dump_load_roundtrip(tmp_path):
     env = NSControlEnv(Nx=8, Ny=17, Nz=8, dtype=jnp.float64, noise_scale=0.01)
     path = str(tmp_path / "state.npz")
