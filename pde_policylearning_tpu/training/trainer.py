@@ -189,3 +189,10 @@ class Trainer:
         x, y = test_data
         pred = self._apply(params, x)
         return float(self.loss_fn(pred.reshape(y.shape), y))
+
+    def evaluate_multi(self, params, test_loaders: dict) -> dict:
+        """Per-resolution evaluation dict (the reference Trainer's
+        `test_loaders` contract, neuralop/training/trainer.py:192-254):
+        test_loaders maps a name (e.g. '32x32') to (x, y) arrays."""
+        return {name: self.evaluate(params, data)
+                for name, data in test_loaders.items()}
