@@ -45,6 +45,7 @@ class Trainer:
 
     def __init__(self, model, n_epochs: int, batch_size: int,
                  learning_rate: float = 1e-3, weight_decay: float = 1e-4,
+                 grad_clip: Optional[float] = None,
                  step_size: int = 100, gamma: float = 0.5,
                  loss_fn: Optional[Callable] = None,
                  decoder=None,
@@ -57,6 +58,8 @@ class Trainer:
         self.batch_size = batch_size
         self.learning_rate = learning_rate
         self.weight_decay = weight_decay
+        self.grad_clip = grad_clip  # run_train's clip_grad_norm
+        # (libs/models/utils_ft.py:710-858)
         self.step_size = step_size
         self.gamma = gamma
         self.decoder = decoder
@@ -85,7 +88,8 @@ class Trainer:
 
         schedule = step_lr(self.learning_rate, self.step_size, self.gamma,
                            steps_per_epoch)
-        opt = adam_l2(schedule, self.weight_decay)
+        opt = adam_l2(schedule, self.weight_decay,
+                      grad_clip=self.grad_clip)
 
         if params is None:
             init_rng, rng = jax.random.split(rng)

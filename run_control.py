@@ -24,6 +24,8 @@ from pde_policylearning_tpu.utils import default_parser, load_yaml, \
 
 def run_control(args, observer_model=None, observer_params=None,
                 train_dataset=None, policy_model=None):
+    if args.get("env_name", "NSControlEnvMatlab") == "NSControlEnv2D":
+        return run_control_2d(args)
     env = NSControlEnv(
         Re=float(args.get("Re", -1)),
         detect_plane=int(args.get("detect_plane", 25)),
@@ -74,6 +76,32 @@ def run_control(args, observer_model=None, observer_params=None,
         np.save(os.path.join(out_dir, "opV2.npy"), result["opV2"])
         print(f"Collected data saved under {out_dir}")
     return result
+
+
+def run_control_2d(args):
+    """2-D env control loop (run_control.py env_name='NSControlEnv2D')."""
+    from pde_policylearning_tpu.envs import NSControlEnv2D
+    env = NSControlEnv2D(
+        detect_plane=int(args.get("detect_plane", -10)),
+        bc_type=args.get("bc_type", "original"),
+        Re=float(args.get("Re", 100.0)) if float(args.get("Re", -1)) > 0
+        else 100.0,
+        fix_flow=bool(args.get("fix_flow", False)))
+    n_steps = int(args.get("control_timestep", 100))
+    policy = args.get("policy_name", "unmanipulated")
+    series = []
+    for i in range(n_steps):
+        if policy == "gt":
+            bc = env.gt_control()
+        else:
+            bc = None
+        p_top, div, done, info = env.step(bc)
+        series.append(info)
+        if (i + 1) % max(1, n_steps // 5) == 0:
+            print(f"step {i + 1}/{n_steps}: shear "
+                  f"{info['drag_reduction/1_shear_stress']:.5f}")
+    return {"series": {k: np.asarray([s[k] for s in series])
+                       for k in series[0]}}
 
 
 def main():

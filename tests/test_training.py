@@ -78,6 +78,23 @@ def test_trainer_recurrent(tiny_dataset):
     assert np.isfinite(hist["test_loss"]).all()
 
 
+def test_trainer_transformer_observer(tiny_dataset):
+    """The transformer observer trains through the same Trainer
+    (base_transformer.yaml path)."""
+    seq = SequentialPDEDataset.from_folder(tiny_dataset, np.arange(16),
+                                           x_range=8, y_range=8, timestep=2)
+    xs, ys = seq.arrays()
+    model = models.SimpleTransformer(
+        node_feats=1, n_hidden=16, n_head=2, freq_dim=8, fourier_modes=3,
+        num_encoder_layers=1, num_regressor_layers=1, dropout=0.0)
+    trainer = Trainer(model, n_epochs=2, batch_size=4, decoder=seq.v_norm,
+                      grad_clip=1.0, log_interval=2, verbose=False)
+    params, hist = trainer.train((xs[:6], ys[:6]), (xs[6:], ys[6:]))
+    assert np.isfinite(hist["test_loss"]).all()
+    multi = trainer.evaluate_multi(params, {"8x8": (xs[6:], ys[6:])})
+    assert "8x8" in multi and np.isfinite(multi["8x8"])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"a": jnp.ones((3,)), "b": {"c": jnp.arange(4.0)}}
     path = str(tmp_path / "ckpt.msgpack")
