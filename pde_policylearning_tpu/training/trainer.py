@@ -52,6 +52,7 @@ class Trainer:
                  log_interval: int = 50,
                  model_kwargs: Optional[dict] = None,
                  patcher=None,
+                 mesh=None,
                  verbose: bool = True):
         self.model = model
         self.n_epochs = n_epochs
@@ -68,6 +69,9 @@ class Trainer:
         self.model_kwargs = model_kwargs or {}
         self.patcher = patcher  # MultigridPatching2D (trainer.py:96-121
         # patch -> forward -> unpatch flow in the reference Trainer)
+        self.mesh = mesh  # data-parallel mesh: datasets sharded over
+        # 'data', params replicated; XLA SPMD sums grads (the reference's
+        # DDP, torch_setup.py:44-48 + comm.py)
         self.verbose = verbose
 
     def _apply(self, params, x):
@@ -99,6 +103,17 @@ class Trainer:
                                      **self.model_kwargs))(
                 init_rng, x_train[:1])["params"]
         opt_state = opt.init(params)
+
+        if self.mesh is not None:
+            from ..parallel import replicate
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_sh = NamedSharding(self.mesh, P("data"))
+            x_train = jax.device_put(x_train, data_sh)
+            y_train = jax.device_put(y_train, data_sh)
+            x_test = jax.device_put(x_test, data_sh)
+            y_test = jax.device_put(y_test, data_sh)
+            params = replicate(self.mesh, params)
+            opt_state = replicate(self.mesh, opt_state)
 
         model = self.model
         loss_fn = self.loss_fn

@@ -66,6 +66,20 @@ def test_mg_patching_wrapper_stitch():
     np.testing.assert_allclose(np.asarray(sx), np.asarray(2 * x), rtol=1e-6)
 
 
+def test_trainer_with_mesh():
+    """Trainer data-parallel path: dataset sharded over 'data', params
+    replicated, loss decreases."""
+    from pde_policylearning_tpu.training import Trainer
+    mesh = make_mesh(model_parallel_size=1)
+    model = models.FNO2dObserver(modes1=3, modes2=3, width=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 8, 8, 1))
+    y = x * 0.5
+    trainer = Trainer(model, n_epochs=6, batch_size=8, learning_rate=2e-3,
+                      log_interval=3, mesh=mesh, verbose=False)
+    params, hist = trainer.train((x[:24], y[:24]), (x[24:], y[24:]))
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
 def test_sharded_mg_training_step():
     """Full DP x MP training step: batch on 'data', patch-batch on 'model'."""
     mesh = make_mesh(model_parallel_size=2)
