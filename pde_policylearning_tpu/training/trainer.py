@@ -77,6 +77,23 @@ class Trainer:
     def _apply(self, params, x):
         return self.model.apply({"params": params}, x, **self.model_kwargs)
 
+    def save_state(self, path: str, params, opt_state=None, epoch: int = 0):
+        """Persist a resumable training state (the reference's
+        {model, optim, scheduler} dict checkpoints,
+        libs/pino_utils/utils.py:156-195)."""
+        from .checkpoint import save_msgpack
+        state = {"params": params, "epoch": epoch}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        return save_msgpack(path, state)
+
+    def load_state(self, path: str, params_template, opt_state_template=None):
+        from .checkpoint import load_msgpack
+        tmpl = {"params": params_template, "epoch": 0}
+        if opt_state_template is not None:
+            tmpl["opt_state"] = opt_state_template
+        return load_msgpack(path, tmpl)
+
     def train(self, train_data, test_data, params=None,
               rng: Optional[jax.Array] = None):
         """train_data/test_data: (x, y) device arrays with leading sample

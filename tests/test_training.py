@@ -104,6 +104,27 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.arange(4.0))
 
 
+def test_trainer_save_resume(tmp_path):
+    model = models.FNO2dObserver(modes1=3, modes2=3, width=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 1))
+    y = x * 0.5
+    trainer = Trainer(model, n_epochs=2, batch_size=8, log_interval=2,
+                      verbose=False)
+    params, _ = trainer.train((x, y), (x, y))
+    path = str(tmp_path / "state.msgpack")
+    trainer.save_state(path, params, epoch=2)
+    restored = trainer.load_state(path, params)
+    assert restored["epoch"] == 2
+    leaves_a = jax.tree.leaves(params)
+    leaves_b = jax.tree.leaves(restored["params"])
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # resume training from the restored params
+    params2, hist2 = trainer.train((x, y), (x, y),
+                                   params=restored["params"])
+    assert np.isfinite(hist2["train_loss"]).all()
+
+
 def test_observer_driver_main(tiny_dataset, monkeypatch, tmp_path):
     """Drive run_pde_observers.main end-to-end on the tiny dataset."""
     import os
