@@ -111,6 +111,25 @@ def test_incremental_n_modes():
     assert out.shape == (1, 16, 16, 1)
 
 
+def test_incremental_modes_grow_during_training():
+    """The incremental-modes curriculum (spectral_convolution.py:286-301):
+    weights always hold the full mode count, so a model reconfigured with
+    more active modes reuses the SAME params mid-training."""
+    kwargs = dict(n_modes=(8, 8), hidden_channels=8, in_channels=1,
+                  out_channels=1, n_layers=1, lifting_channels=8,
+                  projection_channels=8)
+    small = models.FNO(incremental_n_modes=(4, 4), **kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 16, 16, 1))
+    params = small.init(jax.random.PRNGKey(0), x)["params"]
+    out_small = small.apply({"params": params}, x)
+    full = models.FNO(incremental_n_modes=None, **kwargs)
+    out_full = full.apply({"params": params}, x)  # same params, more modes
+    assert out_full.shape == out_small.shape
+    # different active modes -> different outputs, both finite
+    assert float(jnp.max(jnp.abs(out_full - out_small))) > 0
+    assert bool(jnp.isfinite(out_full).all())
+
+
 def test_tfno_is_tucker():
     m = models.TFNO(n_modes=(4, 4), hidden_channels=8, in_channels=1,
                     lifting_channels=8, projection_channels=8, n_layers=1,
