@@ -94,6 +94,24 @@ def freq_attention(q, k, v, attention_type="fourier", modes=16):
     return jnp.swapaxes(out, -1, -2), p
 
 
+def diag_dominant_init(xavier_gain: float = 1e-2,
+                       diagonal_weight: float = 1e-2):
+    """Xavier-uniform with small gain + added diagonal — the reference's
+    attention-projection init (attention_layers.py:919-932
+    _reset_parameters) that keeps Q/K/V near-identity at start."""
+    base = nn.initializers.variance_scaling(
+        xavier_gain, "fan_avg", "uniform")
+
+    def init(key, shape, dtype=jnp.float32):
+        w = base(key, shape, dtype)
+        if len(shape) == 2 and diagonal_weight > 0:
+            n = min(shape)
+            w = w + diagonal_weight * jnp.eye(shape[0], shape[1], dtype=dtype)
+        return w
+
+    return init
+
+
 class SpectralConv1dToken(nn.Module):
     """Linear residual + 1-D spectral conv over the token axis + SiLU —
     the QKV projection used by SimpleAttention (attention_layers.py:1057)."""
@@ -104,7 +122,8 @@ class SpectralConv1dToken(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        res = nn.Dense(self.out_dim, name="linear")(x)
+        res = nn.Dense(self.out_dim, name="linear",
+                       kernel_init=diag_dominant_init())(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         m = min(self.modes, x.shape[-2] // 2 + 1)
@@ -152,9 +171,17 @@ class SimpleAttention(nn.Module):
 
         if self.norm:
             def head_norm(x, name):
-                # per-head LayerNorm over the feature dim
-                return nn.LayerNorm(epsilon=self.norm_eps, name=name,
-                                    feature_axes=-1)(x)
+                # per-head LayerNorm over the feature dim with per-head
+                # affine params (the reference keeps one LayerNorm module
+                # per head, attention_layers.py:963-969)
+                mean = jnp.mean(x, axis=-1, keepdims=True)
+                var = jnp.var(x, axis=-1, keepdims=True)
+                xn = (x - mean) / jnp.sqrt(var + self.norm_eps)
+                w = self.param(f"{name}_scale", nn.initializers.ones,
+                               (self.n_head, 1, x.shape[-1]))
+                b = self.param(f"{name}_bias", nn.initializers.zeros,
+                               (self.n_head, 1, x.shape[-1]))
+                return xn * w + b
             if self.attention_type in ("linear", "galerkin", "global"):
                 k = head_norm(k, "norm_K")
                 v = head_norm(v, "norm_V")
