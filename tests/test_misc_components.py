@@ -81,3 +81,18 @@ def test_mat_to_npy(tmp_path):
     meta = np.load(os.path.join(out, "metadata.npy"),
                    allow_pickle=True).tolist()
     assert "U_field" in meta
+
+
+def test_fem_helpers():
+    from pde_policylearning_tpu.ops import fem
+    b, w = fem.quadpts(2)
+    assert abs(w.sum() - 1.0) < 1e-12
+    A = fem.get_laplacian_1d(8, normalize=False)
+    # row sums of an unnormalized stiffness matrix vanish
+    assert np.abs(A.sum(1)).max() < 1e-10
+    M = fem.get_mass_1d(np.linspace(0, 1, 8))
+    assert abs(M.sum() - 1.0) < 1e-10  # integrates the constant
+    D = fem.get_distance_matrix(np.linspace(0, 1, 5))
+    assert D.shape == (5, 5, 2) and D[0, 0, 0] == 0.0
+    ext = fem.apply_periodic_boundary(np.arange(6), mod_length=2)
+    assert list(ext) == [0, 1, 2, 3, 4, 5, 0, 1]
