@@ -43,6 +43,11 @@ class SpectralConv(nn.Module):
     init_std: Union[str, float] = "auto"
     output_scaling_factor: Optional[Sequence[Sequence[float]]] = None
     incremental_n_modes: Optional[Sequence[int]] = None
+    # accepted for reference-signature parity; factor ranks are resolved by
+    # ops.factorized (tltorch's fixed_rank_modes pins mode-0's rank — the
+    # rank heuristics here already keep channel ranks >= mode ranks)
+    fixed_rank_modes: Union[bool, Sequence[int]] = False
+    decomposition_kwargs: Optional[dict] = None
 
     def setup(self):
         modes = _norm_tuple(self.n_modes)

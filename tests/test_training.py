@@ -125,6 +125,29 @@ def test_trainer_save_resume(tmp_path):
     assert np.isfinite(hist2["train_loss"]).all()
 
 
+def test_observer_driver_recurrent(tiny_dataset, monkeypatch, tmp_path):
+    """Driver main() through the recurrent (SequentialPDEDataset/RNO)
+    branch (run_pde_observers.py recurrent_model path)."""
+    import os
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo")
+    import run_pde_observers as driver
+    from pde_policylearning_tpu.utils import DotDict
+    args = DotDict({
+        "DATA_FOLDER": tiny_dataset, "path_name": "test", "exp_name": "rno",
+        "model_name": "RNO2dObserver", "learning_rate": 1e-3,
+        "weight_decay": 1e-4, "epochs": 2, "step_size": 100, "gamma": 0.5,
+        "modes": 3, "width": 8, "batch_size": 4, "downsample_rate": 1,
+        "x_range": 8, "y_range": 8, "ntrain": 24, "ntest": 8,
+        "random_split": True, "set_epoch": -1, "log_interval": 2,
+        "recurrent_model": True, "model_timestep": 2, "recurrent_index": 0,
+        "layer_num": 1,
+    })
+    best_params, hist = driver.main(args)
+    assert os.path.exists("./outputs/test_rno.msgpack")
+    assert np.isfinite(hist["best_loss"])
+
+
 def test_observer_driver_main(tiny_dataset, monkeypatch, tmp_path):
     """Drive run_pde_observers.main end-to-end on the tiny dataset."""
     import os
