@@ -53,4 +53,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Watchdog: a hung device tunnel would otherwise block forever and the
+    # round would record nothing.  Run the measurement in a child process
+    # with a hard timeout; propagate its stdout (the single JSON line).
+    import multiprocessing as mp
+    import os
+
+    if os.environ.get("BENCH_NO_WATCHDOG"):
+        main()
+    else:
+        ctx = mp.get_context("spawn")
+        proc = ctx.Process(target=main)
+        proc.start()
+        proc.join(timeout=1800)
+        if proc.is_alive():
+            proc.terminate()
+            proc.join(5)
+            print("bench timed out: device unreachable", file=sys.stderr)
+            sys.exit(1)
+        sys.exit(proc.exitcode or 0)
