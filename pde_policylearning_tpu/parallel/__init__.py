@@ -3,6 +3,7 @@ from .mesh import (DATA_AXIS, MODEL_AXIS, get_data_parallel_size,
                    replicate, shard_batch, split_batch_size)
 from .patching import (MultigridPatching2D, make_mg_patches, make_patches,
                        stitch_patches)
+from .sharded_env import shard_env_state, sharded_rollout, sharded_step
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "get_data_parallel_size",
@@ -10,4 +11,5 @@ __all__ = [
     "shard_batch", "split_batch_size",
     "MultigridPatching2D", "make_mg_patches", "make_patches",
     "stitch_patches",
+    "shard_env_state", "sharded_rollout", "sharded_step",
 ]
