@@ -234,9 +234,14 @@ def load_darcy_flow(path: Optional[str] = None, n_train=100, n_test=20,
 
 
 def load_navier_stokes(path: Optional[str] = None, n_train=100, n_test=20,
-                       resolution=32, nt=10, seed=0):
+                       resolution=32, nt=10, seed=0,
+                       test_resolutions: Optional[Sequence[int]] = None):
     """NS vorticity (w0 -> w(T)) dataset (navier_stokes.py:13-147 loaders);
-    generated by the pseudo-spectral solver when no file is given."""
+    generated by the pseudo-spectral solver when no file is given.
+
+    With `test_resolutions`, returns (train, {f"{r}": TensorDataset}) —
+    the reference's multi-resolution test_loaders contract (test sets are
+    subsampled from the train resolution)."""
     if path is not None and os.path.exists(path):
         reader = MatReader(path)
         w = reader.read_field("u")
@@ -248,9 +253,17 @@ def load_navier_stokes(path: Optional[str] = None, n_train=100, n_test=20,
     x = w[..., :1]
     y = w[..., -1:]
     train = TensorDataset(x[:n_train], y[:n_train])
-    test = TensorDataset(x[n_train:n_train + n_test],
-                         y[n_train:n_train + n_test])
-    return train, test
+    x_t = x[n_train:n_train + n_test]
+    y_t = y[n_train:n_train + n_test]
+    if test_resolutions is None:
+        return train, TensorDataset(x_t, y_t)
+    tests = {}
+    full = x_t.shape[1]
+    for r in test_resolutions:
+        sub = max(1, full // r)
+        tests[str(r)] = TensorDataset(x_t[:, ::sub, ::sub],
+                                      y_t[:, ::sub, ::sub])
+    return train, tests
 
 
 def load_burgers(path: Optional[str] = None, n_train=100, n_test=20,

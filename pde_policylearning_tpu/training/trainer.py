@@ -48,6 +48,7 @@ class Trainer:
                  grad_clip: Optional[float] = None,
                  step_size: int = 100, gamma: float = 0.5,
                  loss_fn: Optional[Callable] = None,
+                 regularizer: Optional[Callable] = None,
                  decoder=None,
                  log_interval: int = 50,
                  model_kwargs: Optional[dict] = None,
@@ -65,6 +66,8 @@ class Trainer:
         self.gamma = gamma
         self.decoder = decoder
         self.loss_fn = loss_fn or partial(relative_l2_loss, decoder=decoder)
+        self.regularizer = regularizer  # params -> scalar (the reference
+        # Trainer's `regularizer` argument, trainer.py:67)
         self.log_interval = log_interval
         self.model_kwargs = model_kwargs or {}
         self.patcher = patcher  # MultigridPatching2D (trainer.py:96-121
@@ -137,6 +140,7 @@ class Trainer:
         mkw = self.model_kwargs
 
         patcher = self.patcher
+        regularizer = self.regularizer
 
         def batch_loss(p, xb, yb):
             if patcher is not None:
@@ -145,7 +149,10 @@ class Trainer:
                 pred, yb = patcher.unpatch(pred, yb)
             else:
                 pred = model.apply({"params": p}, xb, **mkw)
-            return loss_fn(pred.reshape(yb.shape), yb)
+            loss = loss_fn(pred.reshape(yb.shape), yb)
+            if regularizer is not None:
+                loss = loss + regularizer(p)
+            return loss
 
         def train_epoch(params, opt_state, key, x_train, y_train):
             perm = jax.random.permutation(key, n_train)[
