@@ -29,7 +29,10 @@ def _load_sorted(folder, tag):
 
 
 def _stack(files, indices):
-    return np.stack([np.load(files[i]) for i in indices])
+    """Batch-load .npy files; uses the native parallel loader (C/pthreads,
+    native/fastloader.c) with a numpy fallback."""
+    from ..native import load_npy_batch
+    return load_npy_batch([files[i] for i in indices])
 
 
 @dataclass
@@ -62,8 +65,8 @@ class PDEDataset:
         p_std = ds(np.asarray(meta[p_name]["std"]))
         v_mean = ds(np.asarray(meta[v_name]["mean"]))
         v_std = ds(np.asarray(meta[v_name]["std"]))
-        p = np.stack([ds(np.load(p_files[i])) for i in data_index])
-        v = np.stack([ds(np.load(v_files[i])) for i in data_index])
+        p = np.stack([ds(a) for a in _stack(p_files, data_index)])
+        v = np.stack([ds(a) for a in _stack(v_files, data_index)])
         p_norm = NormalizerGivenMeanStd(jnp.asarray(p_mean),
                                         jnp.asarray(p_std))
         v_norm = NormalizerGivenMeanStd(jnp.asarray(v_mean),
