@@ -18,9 +18,11 @@ import numpy as np
 from ..envs import channel_flow as cf
 
 
-@partial(jax.jit, static_argnames=("policy_fn", "n_steps", "collect_planes"))
+@partial(jax.jit, static_argnames=("policy_fn", "n_steps", "collect_planes",
+                                   "detect_plane"))
 def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
-                      key, collect_planes: bool = False, policy_carry=None):
+                      key, collect_planes: bool = False, policy_carry=None,
+                      detect_plane: int = 25):
     stateful = policy_carry is not None
 
     def body(carry, k):
@@ -32,7 +34,11 @@ def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
         st = cf.rk3_step(grid, st, opV1, opV2)
         _, p2_next = cf.boundary_pressures(grid, st)
         info = cf.step_metrics(grid, st, p2_next)
-        out = (info, p2_next, opV2) if collect_planes else (info,)
+        if collect_planes:
+            v_plane = st.V[:, -detect_plane, :]
+            out = (info, p2_next, opV2, v_plane)
+        else:
+            out = (info,)
         return (st, p2_next, pc), out
 
     keys = jax.random.split(key, n_steps)
@@ -45,6 +51,7 @@ def run_closed_loop(env, policy_fn, n_steps: int,
                     log_interval: int = 200,
                     div_guard: float = 10.0,
                     collect_planes: bool = False,
+                    detect_plane: int = 25,
                     seed: int = 0,
                     verbose: bool = True,
                     on_chunk=None):
@@ -65,18 +72,21 @@ def run_closed_loop(env, policy_fn, n_steps: int,
         policy_fn_inner = policy_fn.step_fn
     else:
         policy_fn_inner = policy_fn
+    all_v = []
     while done < n_steps:
         n = min(log_interval, n_steps - done)
         key, sub = jax.random.split(key)
         env.state, p2, policy_carry, outs = closed_loop_chunk(
             env.grid, env.state, p2, policy_fn_inner, n, sub,
-            collect_planes=collect_planes, policy_carry=policy_carry)
+            collect_planes=collect_planes, policy_carry=policy_carry,
+            detect_plane=detect_plane)
         outs = jax.device_get(outs)
         infos = outs[0]
         all_infos.append(infos)
         if collect_planes:
             all_p2.append(outs[1])
             all_op.append(outs[2])
+            all_v.append(outs[3])
         done += n
         div = infos["drag_reduction/4_1_-|divergence|"]
         if not np.isfinite(div).all() or np.abs(div).max() > div_guard:
@@ -103,4 +113,27 @@ def run_closed_loop(env, policy_fn, n_steps: int,
     if collect_planes:
         result["p2"] = np.concatenate(all_p2)
         result["opV2"] = np.concatenate(all_op)
+        result["v_plane"] = np.concatenate(all_v)
     return result
+
+
+def save_collected_dataset(result: dict, out_folder: str,
+                           re: float = 178.1899):
+    """Write a collected control run in the trainable on-disk format
+    (P_planes/V_planes per step + metadata.npy), matching
+    data/channel.generate_channel_dataset and the reference's collection
+    loop (run_control.py:236-293)."""
+    import os
+    os.makedirs(out_folder, exist_ok=True)
+    p2 = result["p2"]
+    v = result["v_plane"]
+    for i in range(len(p2)):
+        np.save(os.path.join(out_folder, f"P_planes_{i:06d}.npy"), p2[i])
+        np.save(os.path.join(out_folder, f"V_planes_{i:06d}.npy"), v[i])
+    meta = {
+        "P_planes": {"mean": p2.mean(0), "std": p2.std(0) + 1e-8},
+        "V_planes": {"mean": v.mean(0), "std": v.std(0) + 1e-8},
+        "re": re,
+    }
+    np.save(os.path.join(out_folder, "metadata.npy"), meta)
+    return out_folder

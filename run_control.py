@@ -58,6 +58,7 @@ def run_control(args, observer_model=None, observer_params=None,
         n_steps=int(args.get("control_timestep", 2000)),
         log_interval=int(args.get("log_interval", 200)),
         collect_planes=bool(args.get("collect_data", False)),
+        detect_plane=int(args.get("detect_plane", 25)),
         seed=int(args.get("seed", 0)))
 
     series = result["series"]
@@ -68,13 +69,16 @@ def run_control(args, observer_model=None, observer_params=None,
         print(f"Relative shear stress vs init: {rel[-1]:.4f}")
 
     if args.get("collect_data", False):
+        from pde_policylearning_tpu.control.loop import \
+            save_collected_dataset
         out_dir = os.path.join(args.get("output_dir", "./outputs"),
                                args.get("exp_name", "control"))
         os.makedirs(out_dir, exist_ok=True)
         np.savez(os.path.join(out_dir, "control_series.npz"), **series)
-        np.save(os.path.join(out_dir, "p2.npy"), result["p2"])
         np.save(os.path.join(out_dir, "opV2.npy"), result["opV2"])
-        print(f"Collected data saved under {out_dir}")
+        save_collected_dataset(result, out_dir)
+        print(f"Collected data saved under {out_dir} "
+              "(trainable P_planes/V_planes + metadata)")
     return result
 
 
