@@ -10,8 +10,7 @@ pendulum dynamics is provided so the demo needs no gym dependency.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

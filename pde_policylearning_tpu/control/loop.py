@@ -9,10 +9,9 @@ run_control.py:294-295).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..envs import channel_flow as cf

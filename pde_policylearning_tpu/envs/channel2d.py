@@ -14,7 +14,7 @@ Array layout (ny, nx): rows = y (walls at 0 and -1), cols = x (periodic).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

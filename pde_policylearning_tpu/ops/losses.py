@@ -10,8 +10,6 @@ jit/grad-safe, layout-agnostic (they flatten the trailing `d` dims).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
-
 import jax.numpy as jnp
 
 

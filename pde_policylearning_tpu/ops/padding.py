@@ -8,7 +8,7 @@ Layout: channels-last (B, d1..dN, C); padding applies to the spatial axes.
 """
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Union
 
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ backend's complex support is unreliable (see CLAUDE.md).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

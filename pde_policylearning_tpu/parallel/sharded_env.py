@@ -19,10 +19,7 @@ meshes put the remaining axes on 'data'/batch).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..envs import channel_flow as cf

@@ -12,13 +12,8 @@ with the two losses:
 """
 from __future__ import annotations
 
-import time
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..models.dino import odeint_rk4

@@ -12,8 +12,6 @@ V field and the momentum RHS difference is computed with the same
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ metrics fetched per chunk.
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
