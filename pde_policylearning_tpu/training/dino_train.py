@@ -137,9 +137,77 @@ def train_dino(dec, dyn, data, t_grid, *, code_dim, state_dim=1,
     return dec_params, dyn_params, states, history
 
 
+def train_dino_conditioned(dec, dyn, encoder, data, t_grid, *, code_dim,
+                           state_dim=1, n_cond=2, n_epochs=50,
+                           batch_size=16, lr=1e-2, mask=None, rng=None,
+                           log_interval=20, verbose=True):
+    """Conditioned DINo (train_dino.py n_cond>0 path + eval_dino_cond,
+    DINo/utils.py:275): a SetEncoder aggregates the first `n_cond` frames'
+    latent codes into the forecast initial code; the encoder trains jointly
+    with the dynamics to match the full latent trajectory."""
+    import optax as _optax
+
+    dec_params, dyn_params, states, hist = train_dino(
+        dec, dyn, data, t_grid, code_dim=code_dim, state_dim=state_dim,
+        n_epochs=n_epochs, batch_size=batch_size, lr=lr, mask=mask,
+        rng=rng, log_interval=log_interval, verbose=verbose)
+
+    rng = rng if rng is not None else jax.random.PRNGKey(1)
+    enc_params = jax.jit(encoder.init)(
+        rng, states[:1, :n_cond])["params"]
+    opt = _optax.adam(lr / 10)
+    opt_state = opt.init(enc_params)
+
+    def enc_loss(ep, batch_states):
+        code0 = encoder.apply({"params": ep}, batch_states[:, :n_cond])
+
+        def f(t, u):
+            return dyn.apply({"params": dyn_params}, t, u)
+        codes = odeint_rk4(f, code0, t_grid)
+        codes = jnp.swapaxes(codes, 0, 1)
+        return jnp.mean((codes - batch_states) ** 2)
+
+    @jax.jit
+    def enc_step(ep, s, batch_states):
+        l, g = jax.value_and_grad(enc_loss)(ep, batch_states)
+        up, s = opt.update(g, s)
+        return _optax.apply_updates(ep, up), s, l
+
+    for i in range(n_epochs):
+        enc_params, opt_state, l = enc_step(enc_params, opt_state, states)
+    hist["encoder"] = float(l)
+    if verbose:
+        print(f"encoder fit loss: {float(l):.3e}")
+    return dec_params, dyn_params, enc_params, states, hist
+
+
+def eval_dino_cond(dec, dyn, encoder, dec_params, dyn_params, enc_params,
+                   data, t_grid, *, code_dim, state_dim=1, n_cond=2,
+                   adapt_steps=100, adapt_lr=1e-2, mask=None):
+    """Conditioned evaluation (DINo/utils.py:275): adapt codes on the first
+    n_cond frames, aggregate with the SetEncoder, forecast from the
+    aggregated code."""
+    res = eval_dino(dec, dyn, dec_params, dyn_params, data[:, :n_cond],
+                    t_grid[:n_cond], code_dim=code_dim,
+                    state_dim=state_dim, adapt_steps=adapt_steps,
+                    adapt_lr=adapt_lr, n_cond_frames=n_cond, mask=mask,
+                    return_codes=True)
+    codes_cond = res["codes"]
+    code0 = encoder.apply({"params": enc_params}, codes_cond)
+
+    def f(t, u):
+        return dyn.apply({"params": dyn_params}, t, u)
+    codes = jnp.swapaxes(odeint_rk4(f, code0, t_grid), 0, 1)
+    coords = make_coords(data.shape[2], data.shape[3])
+    pred = _decode_batch(dec, dec_params, coords, codes, state_dim,
+                         code_dim)
+    mse = float(jnp.mean((pred - data) ** 2))
+    return {"mse": mse, "pred": pred}
+
+
 def eval_dino(dec, dyn, dec_params, dyn_params, data, t_grid, *,
               code_dim, state_dim=1, adapt_steps=100, adapt_lr=1e-2,
-              n_cond_frames=1, mask=None, rng=None):
+              n_cond_frames=1, mask=None, rng=None, return_codes=False):
     """Test-time adaptation + forecast (DINo/utils.py:199-273): optimize a
     fresh latent code on the first `n_cond_frames` frames, roll out the code
     ODE, decode, and report in-t / out-t MSE."""
@@ -181,9 +249,12 @@ def eval_dino(dec, dyn, dec_params, dyn_params, data, t_grid, *,
     pred = _decode_batch(dec, dec_params, coords, codes, state_dim, code_dim)
     mse = jnp.mean((pred - data) ** 2, axis=(0, 2, 3, 4))
     n_in = n_cond_frames
-    return {
+    out = {
         "mse": float(jnp.mean(mse)),
         "mse_in_t": float(jnp.mean(mse[:n_in])),
         "mse_out_t": float(jnp.mean(mse[n_in:])) if T > n_in else None,
         "pred": pred,
     }
+    if return_codes:
+        out["codes"] = codes0
+    return out

@@ -61,6 +61,24 @@ def test_masks():
     assert bool(ll.any())
 
 
+def test_dino_conditioned():
+    from pde_policylearning_tpu.training.dino_train import (
+        eval_dino_cond, train_dino_conditioned)
+    data = generate_wave_data(jax.random.PRNGKey(0), 4, 10, 4)
+    t_grid = jnp.linspace(0, 1.0, 4)
+    dec = Decoder(state_c=1, hidden_c=12, code_c=4, coord_dim=2, n_layers=2)
+    dyn = Derivative(state_c=1, code_c=4, hidden_c=16)
+    enc = SetEncoder(code_size=4, n_cond=2, hidden_size=16)
+    dec_p, dyn_p, enc_p, states, hist = train_dino_conditioned(
+        dec, dyn, enc, data, t_grid, code_dim=4, n_cond=2, n_epochs=10,
+        batch_size=4, lr=5e-3, log_interval=10, verbose=False)
+    assert np.isfinite(hist["encoder"])
+    res = eval_dino_cond(dec, dyn, enc, dec_p, dyn_p, enc_p, data, t_grid,
+                         code_dim=4, n_cond=2, adapt_steps=10)
+    assert np.isfinite(res["mse"])
+    assert res["pred"].shape == data.shape
+
+
 def test_dino_end_to_end_small():
     data = generate_wave_data(jax.random.PRNGKey(0), 4, 12, 4)
     t_grid = jnp.linspace(0, 1.0, 4)
