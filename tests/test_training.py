@@ -125,6 +125,38 @@ def test_trainer_save_resume(tmp_path):
     assert np.isfinite(hist2["train_loss"]).all()
 
 
+def test_observer_driver_run_control_handoff(tiny_dataset, monkeypatch,
+                                             tmp_path):
+    """main() with run_control=True hands the trained observer to the
+    control loop (run_pde_observers.py:330-332)."""
+    import os
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo")
+    import run_pde_observers as driver
+    from pde_policylearning_tpu.utils import DotDict
+    args = DotDict({
+        "DATA_FOLDER": tiny_dataset, "path_name": "t", "exp_name": "ctl",
+        "model_name": "FNO2dObserver", "learning_rate": 1e-3,
+        "weight_decay": 1e-4, "epochs": 2, "step_size": 100, "gamma": 0.5,
+        "modes": 3, "width": 8, "batch_size": 8, "downsample_rate": 1,
+        "x_range": 8, "y_range": 8, "ntrain": 24, "ntest": 8,
+        "random_split": True, "set_epoch": -1, "log_interval": 2,
+        "run_control": True, "control_timestep": 3, "detect_plane": 3,
+        "Re": -1, "init_noise_scale": 0.02, "log_interval_control": 3,
+    })
+    # keep the control env tiny: monkeypatch NSControlEnv defaults
+    import run_control as rc
+    orig = rc.NSControlEnv
+
+    def tiny_env(**kw):
+        kw.update({"Nx": 8, "Ny": 17, "Nz": 8})
+        return orig(**kw)
+
+    monkeypatch.setattr(rc, "NSControlEnv", tiny_env)
+    best_params, hist = driver.main(args)
+    assert np.isfinite(hist["best_loss"])
+
+
 def test_observer_driver_recurrent(tiny_dataset, monkeypatch, tmp_path):
     """Driver main() through the recurrent (SequentialPDEDataset/RNO)
     branch (run_pde_observers.py recurrent_model path)."""
