@@ -119,6 +119,7 @@ def train_dino(dec, dyn, data, t_grid, *, code_dim, state_dim=1,
 
     carry = (dec_params, dyn_params, states, s_dec, s_dyn, s_states)
     history = {"autodec": [], "dyn": []}
+    batch_size = min(batch_size, N)
     n_batches = max(1, N // batch_size)
     for epoch in range(n_epochs):
         rng, sub = jax.random.split(rng)
