@@ -247,6 +247,7 @@ def eval_ns(model, params, data, batch_size: int = 8):
     """Mean relative L2 on held-out trajectories (eval_3d.py:15)."""
     u, a, re = data
     lp = SimpleLpLoss(size_average=True)
+    batch_size = min(batch_size, u.shape[0])
     n = u.shape[0] // batch_size * batch_size
 
     @jax.jit
