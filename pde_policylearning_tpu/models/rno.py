@@ -112,6 +112,9 @@ class RNOLayer(nn.Module):
     modes2: int
     width: int
     return_sequences: bool = False
+    remat: bool = False  # rematerialize the cell in the backward pass:
+    # activation memory O(T) -> O(1) per layer (SURVEY.md §7 'recurrent
+    # training memory')
 
     @nn.compact
     def __call__(self, x, h: Optional[jnp.ndarray] = None):
@@ -119,8 +122,9 @@ class RNOLayer(nn.Module):
         bias_h = self.param("bias_h", nn.initializers.normal(1.0), ())
         if h is None:
             h = jnp.zeros((B, H, W, self.width), x.dtype) + bias_h
+        step_cls = nn.remat(_RNOScanStep) if self.remat else _RNOScanStep
         scan_cell = nn.scan(
-            _RNOScanStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1, out_axes=1,
@@ -208,6 +212,7 @@ class RNO2d(nn.Module):
     out_dim: int = 1
     pad_amount: Optional[Sequence[int]] = None
     pad_dim: str = "1"
+    remat: bool = False
 
     def setup(self):
         self.input_projection = nn.Dense(
@@ -219,6 +224,7 @@ class RNO2d(nn.Module):
             rno_layers.append(RNOLayer(
                 self.modes1, self.modes2, self.width,
                 return_sequences=(i < self.layer_num - 1),
+                remat=self.remat,
                 name=f"layer{i}"))
         self.rno_layers = rno_layers
         self.regressor = SpectralRegressor(
