@@ -42,6 +42,18 @@ def test_replay_memory():
     assert s.shape == (4, 3) and a.shape == (4, 1)
 
 
+def test_ddpg_on_channel_env():
+    """DDPG wired to the DNS env through the gym adapter (beyond the
+    reference, which leaves its DDPG unconnected)."""
+    from pde_policylearning_tpu.control import train_ddpg_channel
+    agent, returns = train_ddpg_channel(
+        episodes=1, steps_per_ep=3, batch_size=2,
+        env_kwargs={"Nx": 8, "Ny": 17, "Nz": 8, "detect_plane": 3,
+                    "dtype": jnp.float64, "action_clip": 0.005},
+        verbose=False)
+    assert np.isfinite(returns).all()
+
+
 def test_ddpg_learns_something():
     agent, returns = train_pendulum(episodes=3, steps_per_ep=50,
                                     batch_size=32, verbose=False)
