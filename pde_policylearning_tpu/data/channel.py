@@ -48,7 +48,7 @@ class PDEDataset:
 
     @classmethod
     def from_folder(cls, data_folder, data_index, downsample_rate=1,
-                    x_range=32, y_range=32):
+                    x_range=32, y_range=32, use_patch=False):
         meta = np.load(os.path.join(data_folder, "metadata.npy"),
                        allow_pickle=True).tolist()
         if "P_planes" in meta:
@@ -59,14 +59,25 @@ class PDEDataset:
             raise RuntimeError("Not recognized key name!")
         p_files = _load_sorted(data_folder, p_name)
         v_files = _load_sorted(data_folder, v_name)
-        ds = lambda a: a[::downsample_rate, ::downsample_rate][:x_range,
-                                                               :y_range]
-        p_mean = ds(np.asarray(meta[p_name]["mean"]))
-        p_std = ds(np.asarray(meta[p_name]["std"]))
-        v_mean = ds(np.asarray(meta[v_name]["mean"]))
-        v_std = ds(np.asarray(meta[v_name]["std"]))
+        if use_patch:
+            # split each plane into a stack of (x_range, y_range) patches
+            # folded into the sample axis; normalizer stats are the patch
+            # mean (pde_data_loader.py:33-41 use_patch branch)
+            ds = lambda a: a.reshape(-1, x_range, y_range)
+            ds_stat = lambda a: a.reshape(-1, x_range, y_range).mean(0)
+        else:
+            ds = lambda a: a[::downsample_rate,
+                             ::downsample_rate][:x_range, :y_range]
+            ds_stat = ds
+        p_mean = ds_stat(np.asarray(meta[p_name]["mean"]))
+        p_std = ds_stat(np.asarray(meta[p_name]["std"]))
+        v_mean = ds_stat(np.asarray(meta[v_name]["mean"]))
+        v_std = ds_stat(np.asarray(meta[v_name]["std"]))
         p = np.stack([ds(a) for a in _stack(p_files, data_index)])
         v = np.stack([ds(a) for a in _stack(v_files, data_index)])
+        if use_patch:  # fold the patch axis into the sample axis
+            p = p.reshape(-1, x_range, y_range)
+            v = v.reshape(-1, x_range, y_range)
         p_norm = NormalizerGivenMeanStd(jnp.asarray(p_mean),
                                         jnp.asarray(p_std))
         v_norm = NormalizerGivenMeanStd(jnp.asarray(v_mean),
