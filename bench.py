@@ -22,6 +22,21 @@ import time
 REFERENCE_STEPS_PER_S = 0.33  # measured proxy, see module docstring
 
 
+def _fail(exc) -> None:
+    """Emit one parseable JSON line on any failure (VERDICT.md r1 item 8):
+    an infra-down round must still yield a machine-readable artifact."""
+    import traceback
+
+    traceback.print_exc(file=sys.stderr)
+    print(json.dumps({
+        "metric": "closed_loop_env_steps_per_sec",
+        "value": None,
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "error": f"{type(exc).__name__}: {exc}",
+    }))
+
+
 def main():
     import jax
     import numpy as np
@@ -52,6 +67,16 @@ def main():
     }))
 
 
+def guarded_main():
+    try:
+        main()
+    except BaseException as exc:  # noqa: BLE001 — must always emit JSON
+        if isinstance(exc, SystemExit):
+            raise
+        _fail(exc)
+        sys.exit(1)
+
+
 if __name__ == "__main__":
     # Watchdog: a hung device tunnel would otherwise block forever and the
     # round would record nothing.  Run the measurement in a child process
@@ -60,15 +85,22 @@ if __name__ == "__main__":
     import os
 
     if os.environ.get("BENCH_NO_WATCHDOG"):
-        main()
+        guarded_main()
     else:
         ctx = mp.get_context("spawn")
-        proc = ctx.Process(target=main)
+        proc = ctx.Process(target=guarded_main)
         proc.start()
         proc.join(timeout=1800)
         if proc.is_alive():
             proc.terminate()
             proc.join(5)
             print("bench timed out: device unreachable", file=sys.stderr)
+            print(json.dumps({
+                "metric": "closed_loop_env_steps_per_sec",
+                "value": None,
+                "unit": "steps/s",
+                "vs_baseline": None,
+                "error": "TimeoutError: device unreachable after 1800s",
+            }))
             sys.exit(1)
         sys.exit(proc.exitcode or 0)

@@ -285,12 +285,21 @@ def _tridiag_apply(grid: ChannelGrid, kk, P):
     return out
 
 
+# Solver contractions MUST run at full f32: the TPU MXU's default bf16
+# passes give ~1.7e-2 relative error on the eigen-solve (vs 3.4e-4 at
+# HIGHEST, measured vs an f64 oracle), which compounds over the 3
+# projections per RK3 step into NaN within a few hundred steps.  These
+# matmuls are tiny (129x129 x batch) so the 6-pass cost is negligible.
+_SOLVE_PREC = jax.lax.Precision.HIGHEST
+
+
 def _solve00_real(grid: ChannelGrid, R00):
     """Equilibrated regularized (0,0)-mode solve on a real-stacked rhs
     R00 (2, n): p = S Pinv_eq (S r), real arithmetic only."""
     s = grid.s00.astype(R00.dtype)
     return s[None, :] * jnp.einsum(
-        "ab,cb->ca", grid.Pinv00_eq.astype(R00.dtype), s[None, :] * R00)
+        "ab,cb->ca", grid.Pinv00_eq.astype(R00.dtype), s[None, :] * R00,
+        precision=_SOLVE_PREC)
 
 
 def _set_mode00_real(grid: ChannelGrid, P, p00):
@@ -311,14 +320,16 @@ def _eig_solve_real(grid: ChannelGrid, R, kk):
     matmuls over y + a diagonal divide — MXU-shaped, ~66 KB of operator
     reads vs the reference's 1024 independent dense solves
     (control_env.py:593-602)."""
-    y = jnp.einsum("ab,cxbz->cxaz", grid.eig_B.astype(R.dtype), R)
+    y = jnp.einsum("ab,cxbz->cxaz", grid.eig_B.astype(R.dtype), R,
+                   precision=_SOLVE_PREC)
     denom = grid.eig_lam[None, :, None] + kk
     # the near-null eigenvalue at kk=0 (Neumann mean mode) would produce
     # inf; that column is replaced by the dedicated regularized solve, but
     # it must stay finite so masked blending can't create 0*inf = NaN
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
     y = y / denom[None]
-    return jnp.einsum("ab,cxbz->cxaz", grid.eig_A.astype(R.dtype), y)
+    return jnp.einsum("ab,cxbz->cxaz", grid.eig_A.astype(R.dtype), y,
+                      precision=_SOLVE_PREC)
 
 
 def poisson_solve(grid: ChannelGrid, rhs):
@@ -402,13 +413,14 @@ def boundary_pressures(grid: ChannelGrid, state: ChannelState):
     R = jnp.stack([rhs_hat.real, rhs_hat.imag])
     kk = (grid.kxx[:, None, None]
           + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
-    y = jnp.einsum("ab,cxbz->cxaz", grid.eig_B.astype(rhs.dtype), R)
+    y = jnp.einsum("ab,cxbz->cxaz", grid.eig_B.astype(rhs.dtype), R,
+                   precision=_SOLVE_PREC)
     denom = grid.eig_lam[None, :, None] + kk
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
     y = y / denom[None]
     rows = jnp.asarray([0, 1, n - 2, n - 1])
     A4 = grid.eig_A[rows].astype(rhs.dtype)
-    P4s = jnp.einsum("ab,cxbz->cxaz", A4, y)
+    P4s = jnp.einsum("ab,cxbz->cxaz", A4, y, precision=_SOLVE_PREC)
     p00 = _solve00_real(grid, R[:, 0, :, 0])[:, rows]
     mask_x = jnp.zeros((grid.Nx, 1, 1), rhs.dtype).at[0].set(1.0)
     mask_z = jnp.zeros((1, 1, Nzr), rhs.dtype).at[..., 0].set(1.0)
@@ -427,6 +439,11 @@ def rk3_step(grid: ChannelGrid, state: ChannelState, opV1, opV2
     (control_env.py:533-580)."""
     dt = grid.dt
     U0, V0, W0 = state.U, state.V, state.W
+    # actuation may arrive from an f32 observer while the env runs f64 (or
+    # vice versa); a mixed-dtype wall scatter is a FutureWarning today and a
+    # hard error in future JAX — cast at the step boundary once.
+    opV1 = jnp.asarray(opV1, V0.dtype)
+    opV2 = jnp.asarray(opV2, V0.dtype)
     dPdx = state.dPdx
 
     def substage(U, V, W, coeffs, Fus):

@@ -82,8 +82,10 @@ def freq_attention(q, k, v, attention_type="fourier", modes=16):
         return jnp.swapaxes(xf[..., :modes], -1, -2)  # (B,H,modes,D)
 
     qf, kf, vf = to_freq(q), to_freq(k), to_freq(v)
-    scores = jnp.einsum("bhnd,bhmd->bhnm", qf, jnp.conj(kf) * 0 + kf) \
-        / math.sqrt(d_k)
+    # NOTE: a plain (non-conjugated) complex product, matching the
+    # reference's att_complex_matmul_1d (attention_layers.py:565-574,600)
+    # which multiplies the stacked re/im parts without conjugation.
+    scores = jnp.einsum("bhnd,bhmd->bhnm", qf, kf) / math.sqrt(d_k)
     if attention_type == "softmax":
         p = jax.nn.softmax(jnp.abs(scores), axis=-1).astype(scores.dtype)
     else:

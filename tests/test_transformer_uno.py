@@ -31,6 +31,37 @@ def test_causal_linear_attention_is_causal():
                                np.asarray(out2[:, :, :6]), rtol=1e-4)
 
 
+def _reference_freq_attention_fourier(q, k, v, modes):
+    """NumPy port of the reference freq_attention 'fourier' branch
+    (attention_layers.py:578-621): rfft(ortho) over tokens, truncate to
+    `modes`, scores = plain complex product q_ft k_ft^T / sqrt(d_k)
+    (att_complex_matmul_1d, :565-574 — NO conjugation), p = scores/seq_len,
+    out = irfft(p v_ft, n=seq_len)."""
+    seq_len, d_k = q.shape[-2], q.shape[-1]
+    qf = np.fft.rfft(np.swapaxes(q, -1, -2), n=seq_len, norm="ortho")
+    kf = np.fft.rfft(np.swapaxes(k, -1, -2), n=seq_len, norm="ortho")
+    vf = np.fft.rfft(np.swapaxes(v, -1, -2), n=seq_len, norm="ortho")
+    qf = np.swapaxes(qf[..., :modes], -1, -2)  # (B,H,m,D)
+    kf = np.swapaxes(kf[..., :modes], -1, -2)
+    vf = np.swapaxes(vf[..., :modes], -1, -2)
+    scores = np.einsum("bhnd,bhmd->bhnm", qf, kf) / np.sqrt(d_k)
+    p = scores / seq_len
+    outf = np.einsum("bhnm,bhmd->bhnd", p, vf)
+    out = np.fft.irfft(np.swapaxes(outf, -1, -2), n=seq_len, norm="ortho")
+    return np.swapaxes(out, -1, -2)
+
+
+def test_freq_attention_parity_with_reference():
+    key = jax.random.PRNGKey(8)
+    q, k, v = [jax.random.normal(kk, (2, 2, 16, 8))
+               for kk in jax.random.split(key, 3)]
+    out, _ = models.freq_attention(q, k, v, attention_type="fourier",
+                                   modes=5)
+    want = _reference_freq_attention_fourier(
+        np.asarray(q), np.asarray(k), np.asarray(v), modes=5)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("attention_type",
                          ["fourier", "galerkin", "linear", "softmax"])
 def test_encoder_layer_variants(attention_type):
