@@ -641,3 +641,113 @@ def init_batched_states(grid: ChannelGrid, n_envs: int, key,
     keys = jax.random.split(key, n_envs)
     return jax.vmap(
         lambda k: init_state(grid, key=k, noise=noise, dPdx=dPdx))(keys)
+
+
+# ---------------------------------------------------------------------------
+# Developed-turbulence initial condition
+#
+# The reference starts every run from a statistically developed turbulence
+# snapshot shipped on disk (channel180_minchan.mat, loaded at
+# control_env.py:149-180).  We don't have that file, so we generate the
+# equivalent state: seed a turbulent MEAN profile (so the constant-mass-flux
+# constraint locks onto the turbulent bulk velocity, not the laminar one)
+# plus finite-amplitude streamwise vortices to trip transition, then let the
+# DNS spin up until wall shear statistics equilibrate near Re_tau ~ 180
+# (scripts/spinup_turbulence.py drives this and checkpoints the snapshot).
+# ---------------------------------------------------------------------------
+
+def reichardt_profile(y_plus, kappa: float = 0.41):
+    """Reichardt's composite law-of-the-wall mean profile u+(y+): smooth
+    blend of the viscous sublayer and the log layer — the standard
+    analytic seed for a turbulent channel mean flow."""
+    y_plus = np.asarray(y_plus, np.float64)
+    return (np.log1p(kappa * y_plus) / kappa
+            + 7.8 * (1.0 - np.exp(-y_plus / 11.0)
+                     - (y_plus / 11.0) * np.exp(-y_plus / 3.0)))
+
+
+def init_turbulent_state(grid: ChannelGrid, key,
+                         dPdx: float = DEFAULT_DPDX,
+                         vortex_amp: float = 3.0,
+                         noise: float = 0.02,
+                         n_vortex_pairs: int = 2) -> ChannelState:
+    """Tripped turbulent-transition IC: Reichardt mean profile + pairs of
+    counter-rotating streamwise vortices (amplitude `vortex_amp` in wall
+    units) + broadband noise, wall-corrected and projected divergence-free.
+
+    The mass-flow target (state.meanU0) comes from the Reichardt profile's
+    bulk, so the fixed-flux constraint holds the flow at the turbulent
+    operating point (Re_b ~ 2800 at Re_tau ~ 180) during and after spinup.
+    """
+    utau = math.sqrt(dPdx)
+    dtype = grid.y.dtype
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    yg = np.asarray(grid.yg, np.float64)           # (Ny+1,) U/W centers
+    ym = np.asarray(grid.ym, np.float64)           # (Ny-1,)
+    nu = grid.nu
+
+    # mean profile on U's y-points: distance to the NEAREST wall in [0, 1]
+    d_wall = np.minimum(np.abs(yg), np.abs(2.0 - yg))
+    u_mean = utau * reichardt_profile(d_wall * utau / nu)
+
+    # streamwise vortices: psi(y, z) = A sin(pi yb/2) sin(2 pi k z / Lz)
+    # (yb in [0,2]) -> V' = dpsi/dz, W' = -dpsi/dy; x-independent rolls are
+    # the optimal transient-growth seed for streak formation.
+    A = vortex_amp * utau
+    Lz = grid.dz * Nz
+    z_c = (np.arange(Nz) + 0.5) * grid.dz          # cell centers
+    z_f = np.arange(Nz) * grid.dz                  # faces (for W)
+    kz = 2 * math.pi * n_vortex_pairs / Lz
+
+    y_faces = np.asarray(grid.y, np.float64)       # (Ny,) V lives on faces
+    sin_y_f = np.sin(math.pi * y_faces / 2.0)
+    cos_y_c = np.cos(math.pi * yg / 2.0)
+
+    Vp = A * kz * sin_y_f[None, :, None] * np.cos(kz * z_c)[None, None, :]
+    Wp = -A * (math.pi / 2.0) * cos_y_c[None, :, None] \
+        * np.sin(kz * z_f)[None, None, :]
+
+    U = jnp.broadcast_to(jnp.asarray(u_mean, dtype)[None, :, None],
+                         (Nx, Ny + 1, Nz))
+    V = jnp.broadcast_to(jnp.asarray(Vp, dtype), (Nx, Ny, Nz))
+    W = jnp.broadcast_to(jnp.asarray(Wp, dtype), (Nx, Ny + 1, Nz))
+
+    ku, kv, kw = jax.random.split(key, 3)
+    damp = jnp.asarray(np.minimum(d_wall, 0.3) / 0.3, dtype)  # keep walls clean
+    U = U + noise * jax.random.normal(ku, U.shape, dtype) * damp[None, :, None]
+    V = V + noise * jax.random.normal(kv, V.shape, dtype) \
+        * jnp.asarray(np.sin(math.pi * y_faces / 2.0), dtype)[None, :, None]
+    W = W + noise * jax.random.normal(kw, W.shape, dtype) * damp[None, :, None]
+
+    zeros = jnp.zeros((Nx, Nz), dtype)
+    U, V, W = apply_boundary_condition(U, V, W, zeros, zeros)
+    U, V, W = projection_step(grid, U, V, W)
+    U, V, W = apply_boundary_condition(U, V, W, zeros, zeros)
+
+    state = ChannelState(U=U, V=V, W=W,
+                         dPdx=jnp.asarray(dPdx, dtype),
+                         meanU0=jnp.asarray(0.0, dtype))
+    return state.replace(meanU0=calculate_mean_u(grid, U))
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def spinup_chunk(grid: ChannelGrid, state: ChannelState, n_steps: int):
+    """Advance `n_steps` with zero actuation, accumulating spinup statistics
+    on device (ONE host fetch per chunk): per-step top/bottom wall shear,
+    bulk velocity, and dPdx — the signals used to detect a statistically
+    developed state."""
+
+    def body(st, _):
+        st = rk3_step(grid, st,
+                      jnp.zeros((grid.Nx, grid.Nz), st.U.dtype),
+                      jnp.zeros((grid.Nx, grid.Nz), st.U.dtype))
+        U, V = st.U, st.V
+        dudy_b = (U[:, 1, :] - U[:, 0, :]) / (grid.y[1] - grid.y[0])
+        dudy_t = (U[:, -1, :] - U[:, -2, :]) / (grid.y[-1] - grid.y[-2])
+        tau_b = jnp.mean(grid.nu * dudy_b)
+        tau_t = jnp.mean(-U[:, -1, :] * V[:, -1, :] + grid.nu * dudy_t)
+        stats = jnp.stack([tau_b, jnp.abs(tau_t),
+                           calculate_mean_u(grid, U), st.dPdx])
+        return st, stats
+
+    return jax.lax.scan(body, state, None, length=n_steps)

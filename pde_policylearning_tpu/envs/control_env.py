@@ -18,6 +18,16 @@ import numpy as np
 from . import channel_flow as cf
 
 
+def default_snapshot_path() -> Optional[str]:
+    """Packaged developed-turbulence snapshot (our equivalent of the
+    reference's channel180_minchan.mat, control_env.py:149-180), generated
+    by scripts/spinup_turbulence.py on TPU.  None if not built yet."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "assets",
+                        "channel180_minchan_tpu.npz")
+    return path if os.path.exists(path) else None
+
+
 def _relative_loss(a, b):
     return jnp.linalg.norm(a - b) / jnp.linalg.norm(a)
 
@@ -59,8 +69,15 @@ class NSControlEnv:
         self.grid = cf.make_channel_grid(Nx=Nx, Ny=Ny, Nz=Nz, nu=nu, dt=dt,
                                          dtype=dtype)
         self.key = jax.random.PRNGKey(seed)
+        if init_cond_path is None and Re <= 0 and (Nx, Ny, Nz) == (32, 130, 32):
+            # reference behavior: start from the shipped developed-turbulence
+            # snapshot (control_env.py:149-180), with optional noise on top
+            # (control_env.py:119-128)
+            init_cond_path = default_snapshot_path()
         if init_cond_path is not None:
             self.load_state(init_cond_path)
+            if noise_scale:
+                self.add_random_noise(noise_scale)
         else:
             self.key, sub = jax.random.split(self.key)
             self.state = cf.init_state(self.grid, key=sub, noise=noise_scale)

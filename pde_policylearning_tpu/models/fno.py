@@ -54,6 +54,7 @@ class FNOBlocks(nn.Module):
     implementation: str = "factorized"
     fft_norm: str = "forward"
     incremental_n_modes: Optional[Sequence[int]] = None
+    conv_backend: str = "auto"   # 'auto'|'xla'|'pallas' (spectral_layers)
 
     def setup(self):
         modes = _norm_tuple(self.n_modes)
@@ -77,6 +78,7 @@ class FNOBlocks(nn.Module):
             fft_norm=self.fft_norm,
             output_scaling_factor=osf,
             incremental_n_modes=self.incremental_n_modes,
+            backend=self.conv_backend,
         )
         self.fno_skips = [
             layers.SkipConnection(self.out_channels, self.fno_skip,
@@ -195,6 +197,7 @@ class FNO(nn.Module):
     domain_padding: Optional[float] = None
     domain_padding_mode: str = "one-sided"
     fft_norm: str = "forward"
+    conv_backend: str = "auto"
 
     def setup(self):
         self.n_dim = len(_norm_tuple(self.n_modes))
@@ -224,6 +227,7 @@ class FNO(nn.Module):
             implementation=self.implementation,
             fft_norm=self.fft_norm,
             incremental_n_modes=self.incremental_n_modes,
+            conv_backend=self.conv_backend,
             name="fno_blocks",
         )
         self.projection = layers.Projection(

@@ -34,7 +34,12 @@ _RANK_SYMS = "CDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
 def as_complex(w: jnp.ndarray) -> jnp.ndarray:
-    """(2, ...) real array -> complex array."""
+    """(2, ...) real array -> complex array.
+
+    bf16 weights (mixed-precision forward) are upcast: lax.complex accepts
+    only f32/f64, and the spectrum they multiply is complex64 anyway."""
+    if w.dtype not in (jnp.float32, jnp.float64):
+        w = w.astype(jnp.float32)
     return jax.lax.complex(w[0], w[1])
 
 

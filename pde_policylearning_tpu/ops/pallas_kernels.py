@@ -16,6 +16,7 @@ backend's complex support is unreliable (see CLAUDE.md).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -47,11 +48,7 @@ def _corner_contract_kernel(xr_ref, xi_ref, wr_ref, wi_ref,
     jax.lax.fori_loop(0, m2, body, 0)
 
 
-def corner_contract(xr, xi, wr, wi, interpret: bool = False):
-    """Fused per-mode complex contraction.
-
-    xr, xi: (R, B, M2, I) stacked corner rows (R = total kx modes across
-    corners); wr, wi: (R, M2, I, O).  Returns (or_, oi_) (R, B, M2, O)."""
+def _corner_contract_impl(xr, xi, wr, wi, interpret: bool = False):
     R, B, M2, I = xr.shape
     O = wr.shape[-1]
     grid = (R,)
@@ -77,8 +74,52 @@ def corner_contract(xr, xi, wr, wi, interpret: bool = False):
     )(xr, xi, wr, wi)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def corner_contract(xr, xi, wr, wi, interpret: bool = False):
+    """Fused per-mode complex contraction (differentiable).
+
+    xr, xi: (R, B, M2, I) stacked corner rows (R = total kx modes across
+    corners); wr, wi: (R, M2, I, O).  Returns (or_, oi_) (R, B, M2, O).
+
+    The VJP is two more corner contractions (the transposes of a complex
+    GEMM), so training also runs through the fused kernel:
+      dx = dout @ conj(w)^T,   dw = conj(x)^T @ dout.
+    """
+    return _corner_contract_impl(xr, xi, wr, wi, interpret)
+
+
+def _corner_contract_fwd(xr, xi, wr, wi, interpret):
+    out = _corner_contract_impl(xr, xi, wr, wi, interpret)
+    return out, (xr, xi, wr, wi)
+
+
+def _corner_contract_bwd(interpret, res, cots):
+    xr, xi, wr, wi = res
+    dor, doi = cots
+    # dx = dout @ conj(w)^T : per-mode (B,O) @ (O,I)
+    wrT = jnp.swapaxes(wr, -1, -2)
+    wiT = jnp.swapaxes(wi, -1, -2)
+    dxr, dxi = _corner_contract_impl(dor, doi, wrT, -wiT, interpret)
+    # dw = conj(x)^T @ dout : per-mode (I,B) @ (B,O); reuse the kernel with
+    # the channel axis playing the "batch" role
+    xrT = jnp.transpose(xr, (0, 3, 2, 1))    # (R, I, M2, B)
+    xiT = jnp.transpose(xi, (0, 3, 2, 1))
+    dorM = jnp.transpose(dor, (0, 2, 1, 3))  # (R, M2, B, O)
+    doiM = jnp.transpose(doi, (0, 2, 1, 3))
+    dwr, dwi = _corner_contract_impl(xrT, -xiT, dorM, doiM, interpret)
+    # kernel emits (R, I, M2, O); weights live as (R, M2, I, O)
+    dwr = jnp.transpose(dwr, (0, 2, 1, 3))
+    dwi = jnp.transpose(dwi, (0, 2, 1, 3))
+    return dxr, dxi, dwr, dwi
+
+
+corner_contract.defvjp(_corner_contract_fwd, _corner_contract_bwd)
+
+
 def spectral_conv_2d_pallas(x, weights, half_modes: Sequence[int],
                             fft_norm: str = "backward",
+                            bias=None,
+                            output_sizes: Sequence[int] = None,
                             interpret: bool = False):
     """2-D spectral convolution with the fused Pallas corner contraction.
 
@@ -101,8 +142,7 @@ def spectral_conv_2d_pallas(x, weights, half_modes: Sequence[int],
     w_all = jnp.concatenate(ws, axis=2)             # (I, O, 2*m1, m2)
     w_all = jnp.transpose(w_all, (2, 3, 0, 1))      # (R, M2, I, O)
     or_, oi_ = corner_contract(xr, xi, w_all.real.astype(jnp.float32),
-                               w_all.imag.astype(jnp.float32),
-                               interpret=interpret)
+                               w_all.imag.astype(jnp.float32), interpret)
     out_c = jax.lax.complex(jnp.moveaxis(or_, 1, 0),
                             jnp.moveaxis(oi_, 1, 0))  # (B, R, M2, O)
     Cout = out_c.shape[-1]
@@ -114,4 +154,8 @@ def spectral_conv_2d_pallas(x, weights, half_modes: Sequence[int],
                        [(0, 0, 0), (H - m1, 0, 0), (0, Wr - m2, 0),
                         (0, 0, 0)])
     out_ft = low + high
-    return irfftn(out_ft, s=(H, W), axes=(1, 2), norm=fft_norm)
+    out_sizes = tuple(output_sizes) if output_sizes is not None else (H, W)
+    out = irfftn(out_ft, s=out_sizes, axes=(1, 2), norm=fft_norm)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype) if x.dtype != jnp.float32 else out

@@ -27,10 +27,13 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
              xy_weight: float = 5.0, ic_weight: float = 1.0,
              f_weight: float = 1.0, t_interval: float = 1.0,
              params=None, rng=None, log_interval: int = 200,
-             eval_data=None, verbose: bool = True):
+             eval_data=None, compute_dtype=None, verbose: bool = True):
     """Kolmogorov-flow PINO pretrain/finetune (train_pino.py:41-130).
 
     data: (u, a, re) arrays — u (N,S,S,T), a (N,S,S,T,4), re (N,).
+    compute_dtype: optional forward dtype (e.g. jnp.bfloat16 for the MXU's
+    native path); master params/optimizer/losses stay f32 — the PDE
+    residual (spectral derivatives) is always evaluated on the f32 output.
     Returns (params, history).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -53,7 +56,11 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
     opt_state = opt.init(params)
 
     def loss_fn(p, ab, ub, reb):
+        if compute_dtype is not None:
+            p = jax.tree.map(lambda w: w.astype(compute_dtype), p)
+            ab = ab.astype(compute_dtype)
         out = model.apply({"params": p}, ab, reb).squeeze(-1)  # (B,S,S,T)
+        out = out.astype(ub.dtype)
         data_loss = lp(out, ub)
         u0 = ab[..., 0, -1]  # initial vorticity channel at t=0
         visc = 1.0 / reb

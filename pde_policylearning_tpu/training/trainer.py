@@ -54,6 +54,7 @@ class Trainer:
                  model_kwargs: Optional[dict] = None,
                  patcher=None,
                  mesh=None,
+                 compute_dtype: Optional[Any] = None,
                  verbose: bool = True):
         self.model = model
         self.n_epochs = n_epochs
@@ -75,6 +76,13 @@ class Trainer:
         self.mesh = mesh  # data-parallel mesh: datasets sharded over
         # 'data', params replicated; XLA SPMD sums grads (the reference's
         # DDP, torch_setup.py:44-48 + comm.py)
+        # Mixed precision (master-weights pattern): params/optimizer state
+        # stay f32; forward casts params+inputs to `compute_dtype` (e.g.
+        # jnp.bfloat16) so contractions hit the MXU's native bf16 path.
+        # FFTs auto-upcast to f32 inside ops.fourier.spectral_conv_nd, and
+        # the loss is evaluated in f32.  Grads flow back f32 through the
+        # linear casts.
+        self.compute_dtype = compute_dtype
         self.verbose = verbose
 
     def _apply(self, params, x):
@@ -142,13 +150,19 @@ class Trainer:
         patcher = self.patcher
         regularizer = self.regularizer
 
+        compute_dtype = self.compute_dtype
+
         def batch_loss(p, xb, yb):
+            if compute_dtype is not None:
+                p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
+                xb = xb.astype(compute_dtype)
             if patcher is not None:
                 xb, yb_p = patcher.patch(xb, yb)
                 pred = model.apply({"params": p}, xb, **mkw)
                 pred, yb = patcher.unpatch(pred, yb)
             else:
                 pred = model.apply({"params": p}, xb, **mkw)
+            pred = pred.astype(yb.dtype)
             loss = loss_fn(pred.reshape(yb.shape), yb)
             if regularizer is not None:
                 loss = loss + regularizer(p)

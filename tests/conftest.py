@@ -26,3 +26,7 @@ import jax  # noqa: E402
 # before any jax.devices() call — still lands us on the virtual 8-CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# CI-speed knob: XLA optimization passes dominate wall-clock on the 1-core
+# CI host (compile-bound suite; ~45% faster with them off).  Numerics are
+# unaffected at test tolerances; TPU verification never uses this.
+jax.config.update("jax_disable_most_optimizations", True)

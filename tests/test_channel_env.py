@@ -332,3 +332,33 @@ def test_pde_loss_zero_for_matching_fields():
     assert loss == 0.0
     V2 = env.V + 0.01
     assert float(env.pde_loss(env.U, env.V, V2, env.W, env.dPdx)) > 0
+
+
+def test_developed_turbulence_snapshot():
+    """The packaged developed-turbulence IC (our channel180_minchan.mat
+    equivalent, control_env.py:149-180): statistics must sit in the
+    Re_tau~180 turbulent band, and the DNS must STAY turbulent from it."""
+    from pde_policylearning_tpu.envs.control_env import default_snapshot_path
+    path = default_snapshot_path()
+    assert path is not None, "snapshot missing (scripts/spinup_turbulence.py)"
+    data = np.load(path)
+    utau2 = cf.DEFAULT_DPDX
+
+    grid = cf.make_channel_grid(dtype=jnp.float32)
+    st = cf.init_state(grid, U=data["U"], V=data["V"], W=data["W"],
+                       dPdx=float(data["dPdx"]), dtype=jnp.float32)
+    # turbulent operating point: bulk ~0.89 (Re_b ~ 2900), not laminar 3.55
+    bulk = float(st.meanU0)
+    assert 0.7 < bulk < 1.1
+    # wall shear within 50% of utau^2 and well above the laminar value
+    tau = float(cf.shear_stress(grid, st))
+    assert 0.5 * utau2 < tau < 1.5 * utau2
+    assert tau > 2.0 * 3 * grid.nu * bulk
+    # fluctuations present (turbulent, not mean-flow-only): rms of V
+    assert float(jnp.std(st.V)) > 0.2 * np.sqrt(utau2)
+
+    # stays turbulent over a short horizon
+    st2, stats = cf.spinup_chunk(grid, st, 200)
+    s = np.asarray(stats)
+    assert np.isfinite(s).all()
+    assert s[-50:, :2].mean() > 2.0 * 3 * grid.nu * bulk

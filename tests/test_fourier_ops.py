@@ -34,6 +34,58 @@ def test_pad_assembly_matches_scatter_oracle(order, half_modes, spatial):
     assert out.shape == (2, *spatial, out_ch)
 
 
+@pytest.mark.parametrize("order,half_modes,spatial", [
+    (1, (4,), (16,)),
+    (2, (4, 3), (12, 10)),
+    (2, (4, 4), (8, 8)),        # last-axis modes include the Nyquist bin
+    (3, (3, 2, 2), (8, 8, 7)),  # odd rfft axis
+])
+@pytest.mark.parametrize("norm", ["backward", "forward", "ortho"])
+def test_dft_backend_matches_fft_path(order, half_modes, spatial, norm):
+    """backend='dft' (truncated-DFT matmul sandwich, the TPU fast path)
+    must reproduce the rfftn/irfftn path exactly."""
+    n_w = 2 ** (order - 1)
+    ws = _weights(jax.random.PRNGKey(4), n_w, (3, 5, *half_modes))
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, *spatial, 3))
+    ref = fourier.spectral_conv_nd(x, ws, half_modes, fft_norm=norm)
+    out = fourier.spectral_conv_nd(x, ws, half_modes, fft_norm=norm,
+                                   backend="dft")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("factorization", ["tucker", "cp"])
+def test_dft_backend_factorized_and_grads(factorization):
+    half_modes = (3, 3)
+    ws = _weights(jax.random.PRNGKey(6), 2, (4, 4, *half_modes),
+                  factorization, rank=0.8)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 10, 10, 4))
+
+    def loss(ws, backend):
+        out = fourier.spectral_conv_nd(x, ws, half_modes, backend=backend)
+        return jnp.mean(out ** 2)
+
+    np.testing.assert_allclose(float(loss(ws, "dft")), float(loss(ws, "xla")),
+                               rtol=1e-5)
+    g_d = jax.grad(lambda w: loss(w, "dft"))(ws)
+    g_x = jax.grad(lambda w: loss(w, "xla"))(ws)
+    for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_dft_backend_bias():
+    half_modes = (3, 3)
+    ws = _weights(jax.random.PRNGKey(8), 2, (3, 3, *half_modes))
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 3))
+    bias = jnp.asarray([0.5, -1.0, 2.0])
+    ref = fourier.spectral_conv_nd(x, ws, half_modes, bias=bias)
+    out = fourier.spectral_conv_nd(x, ws, half_modes, bias=bias,
+                                   backend="dft")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("factorization", ["dense", "tucker", "cp", "tt"])
 @pytest.mark.parametrize("implementation", ["reconstructed", "factorized"])
 def test_spectral_conv_factorizations(factorization, implementation):

@@ -65,6 +65,26 @@ def test_trainer_loss_decreases(tiny_dataset):
     assert np.isfinite(hist["best_loss"])
 
 
+def test_trainer_bf16_accuracy_delta(tiny_dataset):
+    """Mixed-precision (compute_dtype=bf16, master f32): must converge to
+    within a small delta of the f32 run (VERDICT r1 item 4c)."""
+    ds = PDEDataset.from_folder(tiny_dataset, np.arange(40), x_range=8,
+                                y_range=8)
+    x, y = ds.arrays()
+    x, y = x.astype(jnp.float32), y.astype(jnp.float32)
+    train, test = (x[:32], y[:32]), (x[32:], y[32:])
+    model = models.FNO2dObserver(modes1=3, modes2=3, width=8)
+    kw = dict(n_epochs=20, batch_size=8, learning_rate=2e-3,
+              decoder=ds.v_norm, log_interval=20, verbose=False)
+    _, h32 = Trainer(model, **kw).train(train, test)
+    _, h16 = Trainer(model, compute_dtype=jnp.bfloat16, **kw).train(
+        train, test)
+    assert np.isfinite(h16["best_loss"])
+    assert h16["train_loss"][-1] < h16["train_loss"][0]
+    # bf16 path tracks the f32 run
+    assert abs(h16["best_loss"] - h32["best_loss"]) < 0.1 * h32["best_loss"] + 0.05
+
+
 def test_trainer_recurrent(tiny_dataset):
     seq = SequentialPDEDataset.from_folder(tiny_dataset, np.arange(40),
                                            x_range=8, y_range=8, timestep=2)
