@@ -152,6 +152,76 @@ class TensorDataset:
         return jnp.asarray(self.x, dtype), jnp.asarray(self.y, dtype)
 
 
+class ZarrDataset:
+    """Lazy zarr-backed PDE dataset (zarr_dataset.py:6-125).
+
+    Same contract as the reference: fixed resolution->subsample-step map
+    {128:8, 256:4, 512:2, 1024:1}, lazy store open (one handle cached per
+    instance), x served at the subsampled resolution, y with a leading
+    channel axis, optional transform_x/transform_y.  The `zarr` package is
+    not in this image, so the import is gated at construction time."""
+
+    _RES_TO_STEP = {128: 8, 256: 4, 512: 2, 1024: 1}
+
+    def __init__(self, filename, resolution: int = 128, transform_x=None,
+                 transform_y=None, n_samples=None):
+        try:
+            import zarr
+        except ImportError as e:  # pragma: no cover - zarr not in image
+            raise ImportError(
+                "ZarrDataset requires the `zarr` package "
+                "(reference: neuralop/datasets/zarr_dataset.py:6)") from e
+        if resolution not in self._RES_TO_STEP:
+            raise ValueError(
+                f"Got resolution={resolution}, expected one of "
+                f"{sorted(self._RES_TO_STEP)}")
+        self._zarr = zarr
+        self.subsample_step = self._RES_TO_STEP[resolution]
+        self.filename = str(filename)
+        self._data = None
+        self.transform_x = transform_x
+        self.transform_y = transform_y
+        if n_samples is not None:
+            self.n_samples = n_samples
+        else:
+            data = zarr.open(self.filename, mode="r")
+            self.n_samples = data["x"].shape[0] if hasattr(data, "keys") \
+                else data.shape[0]
+            del data
+
+    def attrs(self, array_name: str, name: str):
+        data = self._zarr.open(self.filename, mode="r")
+        value = data[array_name].attrs[name]
+        del data
+        return value
+
+    @property
+    def data(self):
+        if self._data is None:
+            self._data = self._zarr.open(self.filename, mode="r")
+        return self._data
+
+    def __len__(self):
+        return self.n_samples
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, int):
+            for i in idx:
+                assert i < self.n_samples
+        else:
+            assert idx < self.n_samples, (
+                f"Trying to access sample {idx} of dataset with "
+                f"{self.n_samples} samples")
+        s = self.subsample_step
+        x = np.asarray(self.data["x"][idx, ::s, ::s], np.float32)
+        y = np.asarray(self.data["y"][idx, ::s, ::s], np.float32)[None]
+        if self.transform_x is not None:
+            x = self.transform_x(x)
+        if self.transform_y is not None:
+            y = self.transform_y(y)
+        return {"x": x, "y": y}
+
+
 class H5pyDataset:
     """Lazy HDF5-backed dataset (hdf5_dataset.py:6)."""
 
@@ -321,11 +391,22 @@ def load_spherical_swe(n_train=20, n_test=4, nlat=32, nlon=64, nt=5,
         flm[:, l, l + 1:, :] = 0
     flm[:, :, 0, :] = flm[:, :, 0, :].real
     flm = flm * decay[None, :, :, None]
-    h0 = irsht(jnp.asarray(flm), nlat, nlon)
+    # eager complex constants are UNIMPLEMENTED on the axon TPU backend:
+    # feed real/imag separately and combine under jit (see CLAUDE.md)
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("nlat", "nlon"))
+    def _synth(fr, fi, nlat, nlon):
+        return irsht(jax.lax.complex(fr, fi), nlat, nlon)
+
+    h0 = _synth(jnp.asarray(flm.real, jnp.float32),
+                jnp.asarray(flm.imag, jnp.float32), nlat, nlon)
     # linear evolution: each degree oscillates at omega_l ~ sqrt(l(l+1))
     omega = np.sqrt(ls * (ls + 1.0))
-    hT = irsht(jnp.asarray(flm * np.cos(omega)[None, :, None, None]),
-               nlat, nlon)
+    fT = flm * np.cos(omega)[None, :, None, None]
+    hT = _synth(jnp.asarray(fT.real, jnp.float32),
+                jnp.asarray(fT.imag, jnp.float32), nlat, nlon)
     x = np.asarray(h0, np.float32)
     y = np.asarray(hT, np.float32)
     train = TensorDataset(x[:n_train], y[:n_train])

@@ -79,7 +79,11 @@ def sht_matrices(nlat: int, nlon: int, lmax: int | None = None,
     x, w = _quadrature(nlat, grid)
     P = _legendre_assoc(lmax, mmax, x)
     Pw = P * w[None, None, :]
-    return jnp.asarray(Pw), jnp.asarray(P)
+    # Return HOST numpy arrays: this function is lru_cached, and a
+    # jnp.asarray created inside a jit trace is a tracer — caching it
+    # leaks the tracer into later traces (observed UnexpectedTracerError
+    # when the first call happens under jit).  Call sites convert.
+    return Pw, P
 
 
 def rsht(f: jnp.ndarray, lmax: int | None = None,

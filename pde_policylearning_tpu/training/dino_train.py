@@ -56,13 +56,17 @@ def _decode_batch(dec, dec_params, coords, states, state_dim, code_dim):
 def train_dino(dec, dyn, data, t_grid, *, code_dim, state_dim=1,
                n_epochs=100, batch_size=16, lr=1e-2, mask=None,
                rng=None, log_interval=20, verbose=True,
-               teacher_epsilon=0.99):
-    """Returns (dec_params, dyn_params, states, history)."""
+               teacher_epsilon=0.99, coords=None):
+    """Returns (dec_params, dyn_params, states, history).
+
+    coords: optional (H, W, D) coordinate grid — e.g. xyz points on the
+    sphere for the ShallowWater dataset (data_pdes.py ShallowWaterDataset
+    coords); defaults to the planar normalized grid."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     data = jnp.asarray(data)
     N, T, H, W, S = data.shape
     assert S == state_dim
-    coords = make_coords(H, W)
+    coords = make_coords(H, W) if coords is None else jnp.asarray(coords)
     if mask is None:
         mask = jnp.ones((H, W), bool)
 
@@ -208,13 +212,14 @@ def eval_dino_cond(dec, dyn, encoder, dec_params, dyn_params, enc_params,
 
 def eval_dino(dec, dyn, dec_params, dyn_params, data, t_grid, *,
               code_dim, state_dim=1, adapt_steps=100, adapt_lr=1e-2,
-              n_cond_frames=1, mask=None, rng=None, return_codes=False):
+              n_cond_frames=1, mask=None, rng=None, return_codes=False,
+              coords=None):
     """Test-time adaptation + forecast (DINo/utils.py:199-273): optimize a
     fresh latent code on the first `n_cond_frames` frames, roll out the code
     ODE, decode, and report in-t / out-t MSE."""
     data = jnp.asarray(data)
     N, T, H, W, S = data.shape
-    coords = make_coords(H, W)
+    coords = make_coords(H, W) if coords is None else jnp.asarray(coords)
     if mask is None:
         mask = jnp.ones((H, W), bool)
 

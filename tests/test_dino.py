@@ -94,3 +94,69 @@ def test_dino_end_to_end_small():
                     adapt_steps=30, n_cond_frames=1)
     assert np.isfinite(res["mse"])
     assert res["pred"].shape == data.shape
+
+
+def test_shallow_water_dataset_synthetic():
+    from pde_policylearning_tpu.data import (ShallowWaterDataset,
+                                             spherical_xyz_coords)
+    ds = ShallowWaterDataset(n_seq=3, nt=4, nlat=16, nlon=32)
+    assert len(ds) == 3
+    item = ds[1]
+    assert item["data"].shape == (4, 16, 32, 2)      # [height, vorticity]
+    assert item["coords"].shape == (16, 32, 3)       # xyz on the sphere
+    r = np.linalg.norm(item["coords"], axis=-1)
+    np.testing.assert_allclose(r, 1.0, atol=1e-5)    # unit sphere
+    assert np.isfinite(item["data"]).all()
+    data, coords = ds.arrays()
+    assert data.shape == (3, 4, 16, 32, 2)
+
+
+def test_shallow_water_dino_end_to_end():
+    """DINo train on the spherical SWE data with xyz coords."""
+    from pde_policylearning_tpu.data import ShallowWaterDataset
+    from pde_policylearning_tpu.models.dino import Decoder, Derivative
+    from pde_policylearning_tpu.training.dino_train import train_dino
+
+    ds = ShallowWaterDataset(n_seq=4, nt=3, nlat=8, nlon=16)
+    data, coords = ds.arrays()
+    t_grid = jnp.linspace(0, 1.0, 3)
+    dec = Decoder(state_c=2, hidden_c=16, code_c=8, coord_dim=3)
+    dyn = Derivative(state_c=2, code_c=8, hidden_c=32)
+    dec_p, dyn_p, states, hist = train_dino(
+        dec, dyn, data, t_grid, code_dim=8, state_dim=2, n_epochs=25,
+        batch_size=4, coords=coords, verbose=False)
+    assert np.isfinite(hist["autodec"][-1])
+    assert hist["autodec"][-1] < hist["autodec"][0]
+
+
+def test_sst_dataset_synthetic():
+    from pde_policylearning_tpu.data import SSTDataset
+    ds = SSTDataset(nt_cond=2, nt_pred=3, train=True, zones=[1, 2],
+                    n_days=120)
+    assert len(ds) >= 2
+    item = ds[0]
+    assert item["data"].shape == (5, 64, 64, 1)
+    assert item["coords"].shape == (64, 64, 2)
+    assert item["mu_clim"].shape[0] == 3             # per-pred-frame stats
+    # double-normalized fields are ~standardized
+    assert abs(float(item["data"].mean())) < 1.0
+    # train/test splits see different frames
+    ds_test = SSTDataset(nt_cond=2, nt_pred=3, train=False, zones=[1, 2],
+                         n_days=120)
+    assert not np.allclose(item["data"], ds_test[0]["data"])
+
+
+def test_zarr_dataset_gated():
+    """ZarrDataset exists with the reference contract; without the zarr
+    package it must raise a clear ImportError (VERDICT r1 item 4 gating)."""
+    from pde_policylearning_tpu.data import ZarrDataset
+    try:
+        import zarr  # noqa: F401
+        has_zarr = True
+    except ImportError:
+        has_zarr = False
+    if not has_zarr:
+        with pytest.raises(ImportError, match="zarr"):
+            ZarrDataset("/tmp/nonexistent.zarr")
+    # resolution map is the reference's (zarr_dataset.py:10)
+    assert ZarrDataset._RES_TO_STEP == {128: 8, 256: 4, 512: 2, 1024: 1}

@@ -43,6 +43,8 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     kd, km, kt = jax.random.split(key, 3)
+    coords = None
+    state_c = 1
     if args.dataset == "navier":
         data = generate_navier_stokes_data(kd, args.n_traj, args.size,
                                            args.n_frames)
@@ -50,26 +52,32 @@ def main():
     elif args.dataset == "wave":
         data = generate_wave_data(kd, args.n_traj, args.size, args.n_frames)
         t_total = 1.0
-    else:
-        raise NotImplementedError(
-            "shallow_water requires external data (DINo data_pdes.py "
-            "ShallowWater); use navier or wave")
+    else:  # spherical SWE (DINo data_pdes.py ShallowWaterDataset)
+        from pde_policylearning_tpu.data.dino_datasets import \
+            ShallowWaterDataset
+        ds = ShallowWaterDataset(args.n_traj, args.n_frames,
+                                 nlat=args.size, nlon=2 * args.size)
+        data, coords = ds.arrays()
+        state_c = 2
+        t_total = 1.0
 
     import jax.numpy as jnp
     t_grid = jnp.linspace(0, t_total, args.n_frames)
     mask_frac = max(0.0, 1.0 - args.subsampling)
-    mask = generate_mask(km, args.size, args.size, mask_frac)
+    mask = generate_mask(km, data.shape[2], data.shape[3], mask_frac)
 
-    dec = Decoder(state_c=1, hidden_c=args.hidden_c, code_c=args.code_dim,
-                  coord_dim=2)
-    dyn = Derivative(state_c=1, code_c=args.code_dim,
+    dec = Decoder(state_c=state_c, hidden_c=args.hidden_c,
+                  code_c=args.code_dim,
+                  coord_dim=2 if coords is None else coords.shape[-1])
+    dyn = Derivative(state_c=state_c, code_c=args.code_dim,
                      hidden_c=args.hidden_c_dyn)
     dec_p, dyn_p, states, hist = train_dino(
-        dec, dyn, data, t_grid, code_dim=args.code_dim,
-        n_epochs=args.epochs, lr=args.lr, mask=mask, rng=kt)
+        dec, dyn, data, t_grid, code_dim=args.code_dim, state_dim=state_c,
+        n_epochs=args.epochs, lr=args.lr, mask=mask, rng=kt, coords=coords)
 
     result = eval_dino(dec, dyn, dec_p, dyn_p, data[:8], t_grid,
-                       code_dim=args.code_dim, n_cond_frames=1)
+                       code_dim=args.code_dim, state_dim=state_c,
+                       n_cond_frames=1, coords=coords)
     print(f"eval: mse {result['mse']:.3e} in-t {result['mse_in_t']:.3e} "
           f"out-t {result['mse_out_t']:.3e}")
 
