@@ -50,8 +50,11 @@ def main():
     policy = make_policy("gt", env.grid, detect_plane=25)
 
     # warm up / compile with the SAME chunk length as the measured run
-    # (scan length is a static shape — different lengths recompile)
-    n = 500
+    # (scan length is a static shape — different lengths recompile).
+    # n matches the reference's control budget (configs/matlab_rno.yaml
+    # control_timestep: 2000) and amortizes the per-run host fetch, whose
+    # fixed ~0.5 s tunnel latency dominates short runs.
+    n = 2000
     run_closed_loop(env, policy, n_steps=n, log_interval=n, verbose=False)
 
     t0 = time.perf_counter()

@@ -25,7 +25,7 @@ x/z are periodic with uniform spacing dx = Lx/Nx, dz = Lz/Nz.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -293,6 +293,76 @@ def _tridiag_apply(grid: ChannelGrid, kk, P):
 _SOLVE_PREC = jax.lax.Precision.HIGHEST
 
 
+# ---------------------------------------------------------------------------
+# x/z spectral transforms as exact DFT matmuls.
+#
+# XLA's TPU FFT runs ~30x below the HBM roofline; profiling shows the
+# fft(rfft)/irfft(ifft) round trip is 82% of poisson_solve's cost at the
+# reference grid.  At Nx = Nz = 32 the full DFT matrices are tiny and the
+# transform becomes a few MXU matmuls at HIGHEST precision — exact (no mode
+# truncation: the Nzr spectrum keeps the Nyquist bin), fully real-stacked
+# (no complex ops anywhere in the solve path, see CLAUDE.md), and it vmaps
+# into batched GEMMs for the multi-env rollout.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def _env_dft_mats(Nx: int, Nz: int):
+    """Host numpy DFT factors: (Cz, Sz) (Nzr, Nz) forward z-rfft rows,
+    (Cx, Sx) (Nx, Nx) forward x-fft, (Czi, Szi) (Nzr, Nz) inverse z rows
+    with conjugate-pair doubling and the 1/(Nx*Nz) normalization folded
+    in.  Cached as numpy (a jnp constant cached across traces leaks
+    tracers, cf. ops/sht.py)."""
+    Nzr = Nz // 2 + 1
+    n = np.arange(Nz)
+    f = np.arange(Nzr)
+    ang_z = -2.0 * np.pi * np.outer(f, n) / Nz
+    Cz, Sz = np.cos(ang_z), np.sin(ang_z)
+    g = np.arange(Nx)
+    ang_x = -2.0 * np.pi * np.outer(g, g) / Nx
+    Cx, Sx = np.cos(ang_x), np.sin(ang_x)
+    c = np.full(Nzr, 2.0)
+    c[0] = 1.0
+    if Nz % 2 == 0:
+        c[-1] = 1.0
+    scale = c / (Nx * Nz)
+    return Cz, Sz, Cx * 1.0, Sx * 1.0, Cz * scale[:, None], Sz * scale[:, None]
+
+
+def _spectrum_fwd(grid: ChannelGrid, rhs):
+    """rhs (..., Nx, n, Nz) real -> real-stacked spectrum
+    (2, ..., Nx, n, Nzr): z-rfft then x-fft, both as DFT matmuls
+    (replaces jnp.fft.fft(jnp.fft.rfft(rhs, axis=2), axis=0))."""
+    Cz, Sz, Cx, Sx, _, _ = _env_dft_mats(grid.Nx, grid.Nz)
+    dt = rhs.dtype
+    Cz, Sz, Cx, Sx = (jnp.asarray(m, dt) for m in (Cz, Sz, Cx, Sx))
+    re = jnp.einsum("...xyz,fz->...xyf", rhs, Cz, precision=_SOLVE_PREC)
+    im = jnp.einsum("...xyz,fz->...xyf", rhs, Sz, precision=_SOLVE_PREC)
+    re2 = jnp.einsum("...xyf,gx->...gyf", re, Cx, precision=_SOLVE_PREC) \
+        - jnp.einsum("...xyf,gx->...gyf", im, Sx, precision=_SOLVE_PREC)
+    im2 = jnp.einsum("...xyf,gx->...gyf", re, Sx, precision=_SOLVE_PREC) \
+        + jnp.einsum("...xyf,gx->...gyf", im, Cx, precision=_SOLVE_PREC)
+    return jnp.stack([re2, im2])
+
+
+def _spectrum_inv(grid: ChannelGrid, P):
+    """Real-stacked spectrum (2, ..., Nx, n, Nzr) -> real field
+    (..., Nx, n, Nz): x-ifft then z-irfft with conjugate-pair doubling
+    (replaces jnp.fft.irfft(jnp.fft.ifft(p_hat, axis=0), axis=2))."""
+    _, _, Cx, Sx, Czi, Szi = _env_dft_mats(grid.Nx, grid.Nz)
+    re, im = P[0], P[1]
+    dt = re.dtype
+    Cx, Sx, Czi, Szi = (jnp.asarray(m, dt) for m in (Cx, Sx, Czi, Szi))
+    # inverse x kernel = conj(F): (re + i im)(C - i S)
+    re1 = jnp.einsum("...gyf,gx->...xyf", re, Cx, precision=_SOLVE_PREC) \
+        + jnp.einsum("...gyf,gx->...xyf", im, Sx, precision=_SOLVE_PREC)
+    im1 = jnp.einsum("...gyf,gx->...xyf", im, Cx, precision=_SOLVE_PREC) \
+        - jnp.einsum("...gyf,gx->...xyf", re, Sx, precision=_SOLVE_PREC)
+    # real part of the doubled z-inverse
+    return jnp.einsum("...xyf,fz->...xyz", re1, Czi,
+                      precision=_SOLVE_PREC) \
+        + jnp.einsum("...xyf,fz->...xyz", im1, Szi, precision=_SOLVE_PREC)
+
+
 def _solve00_real(grid: ChannelGrid, R00):
     """Equilibrated regularized (0,0)-mode solve on a real-stacked rhs
     R00 (2, n): p = S Pinv_eq (S r), real arithmetic only."""
@@ -340,8 +410,7 @@ def poisson_solve(grid: ChannelGrid, rhs):
     matmuls/scatters are avoided entirely (backend miscompiles them under
     vmap)."""
     Nzr = grid.Nz // 2 + 1
-    rhs_hat = jnp.fft.fft(jnp.fft.rfft(rhs, axis=2), axis=0)  # (Nx, n, Nzr)
-    R = jnp.stack([rhs_hat.real, rhs_hat.imag])   # (2, Nx, n, Nzr)
+    R = _spectrum_fwd(grid, rhs)                  # (2, Nx, n, Nzr)
     kk = (grid.kxx[:, None, None]
           + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
     P = _eig_solve_real(grid, R, kk)
@@ -359,8 +428,7 @@ def poisson_solve(grid: ChannelGrid, rhs):
             corr = _set_mode00_real(grid, corr,
                                     _solve00_real(grid, r[:, 0, :, 0]))
             P = P + corr
-    p_hat = jax.lax.complex(P[0], P[1])
-    return jnp.fft.irfft(jnp.fft.ifft(p_hat, axis=0), n=grid.Nz, axis=2)
+    return _spectrum_inv(grid, P)
 
 
 def projection_step(grid: ChannelGrid, U, V, W):
@@ -409,8 +477,7 @@ def boundary_pressures(grid: ChannelGrid, state: ChannelState):
     rhs = _pressure_rhs(grid, state)
     Nzr = grid.Nz // 2 + 1
     n = grid.Ny - 1
-    rhs_hat = jnp.fft.fft(jnp.fft.rfft(rhs, axis=2), axis=0)
-    R = jnp.stack([rhs_hat.real, rhs_hat.imag])
+    R = _spectrum_fwd(grid, rhs)
     kk = (grid.kxx[:, None, None]
           + grid.kzz[None, None, :Nzr]).astype(rhs.dtype)
     y = jnp.einsum("ab,cxbz->cxaz", grid.eig_B.astype(rhs.dtype), R,
@@ -426,8 +493,7 @@ def boundary_pressures(grid: ChannelGrid, state: ChannelState):
     mask_z = jnp.zeros((1, 1, Nzr), rhs.dtype).at[..., 0].set(1.0)
     mask = (mask_x * mask_z)[None]
     P4s = P4s * (1.0 - mask) + p00[:, None, :, None] * mask
-    p4_hat = jax.lax.complex(P4s[0], P4s[1])
-    P4 = jnp.fft.irfft(jnp.fft.ifft(p4_hat, axis=0), n=grid.Nz, axis=2)
+    P4 = _spectrum_inv(grid, P4s)
     p1 = -0.5 * (P4[:, 0, :] + P4[:, 1, :])
     p2 = -0.5 * (P4[:, 3, :] + P4[:, 2, :])
     return p1, p2

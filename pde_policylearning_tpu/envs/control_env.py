@@ -78,6 +78,18 @@ class NSControlEnv:
             self.load_state(init_cond_path)
             if noise_scale:
                 self.add_random_noise(noise_scale)
+                # re-admit the state: raw noise has divergence ~ noise/dy
+                # (~100 at the graded wall cells), which the f32 TPU solve
+                # cannot cleanly project in one RK3 substep (the reference
+                # tolerates this only because it runs f64 on CPU,
+                # control_env.py:119-128)
+                s = self.state
+                zeros = jnp.zeros((Nx, Nz), dtype)
+                U, V, W = cf.apply_boundary_condition(s.U, s.V, s.W,
+                                                      zeros, zeros)
+                U, V, W = cf.projection_step(self.grid, U, V, W)
+                U, V, W = cf.apply_boundary_condition(U, V, W, zeros, zeros)
+                self.state = s.replace(U=U, V=V, W=W)
         else:
             self.key, sub = jax.random.split(self.key)
             self.state = cf.init_state(self.grid, key=sub, noise=noise_scale)
