@@ -41,6 +41,15 @@ class Trainer:
     Parameters mirror the reference budgets: n_epochs, batch_size, lr,
     StepLR(step_size, gamma), Adam weight_decay.
     `loss_fn(pred, target)` defaults to decoded relative L2.
+
+    Memory model: the full dataset lives in HBM as jit ARGUMENTS (never
+    closure constants — see CLAUDE.md) and batches are gathered on device
+    per step.  Ceiling: dataset + params + Adam state + per-batch
+    activations must fit one chip's HBM (v5e: 16 GB).  The reference
+    budgets are tiny by this standard (7.5k x 32x32 x f32 ~ 30 MB); for
+    datasets beyond ~10 GB, shard the arrays over the 'data' axis of a
+    multi-chip `mesh` (each chip then holds 1/N of the data), or stream
+    chunks through repeated `train()` calls with `params` threaded.
     """
 
     def __init__(self, model, n_epochs: int, batch_size: int,
