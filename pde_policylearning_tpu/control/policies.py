@@ -122,12 +122,14 @@ def make_policy(name: str, grid, *, detect_plane: int = 25,
             # actuate -v_hat (gt_control applies -V, control_env.py:416-421;
             # the observer was trained to predict +V, so negate here)
             opV2 = -action_scale * v_hat
-            # zero-net-flux constraint: remove the plane mean so the wall
-            # actuation injects no mass (cf. the mean subtraction in the
-            # optimal-observer policy, run_control.py:223)
-            opV2 = opV2 - jnp.mean(opV2)
             if action_clip is not None:
                 opV2 = jnp.clip(opV2, -action_clip, action_clip)
+            # zero-net-flux constraint LAST: clipping after the mean
+            # subtraction would reintroduce a net wall flux (observed: the
+            # sum-divergence guard trips within 10k steps), so remove the
+            # plane mean after all shaping (cf. the mean subtraction in
+            # the optimal-observer policy, run_control.py:223)
+            opV2 = opV2 - jnp.mean(opV2)
             return jnp.zeros_like(opV2), opV2.astype(state.U.dtype)
         return policy
 

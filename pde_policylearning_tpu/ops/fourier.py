@@ -97,16 +97,36 @@ def _dft_mats(size: int, half: int, last: bool, dtype):
     return (jnp.asarray(np.cos(ang), dtype), jnp.asarray(np.sin(ang), dtype))
 
 
-def _nyquist_doubling(size: int, half: int, dtype):
-    """Real-reconstruction row weights for the rfft axis: every kept mode
-    except f=0 (and the Nyquist bin on even sizes) appears twice in the
-    full spectrum via conjugate symmetry."""
+def _idft_mats(size: int, half: int, last: bool, out_size: int, dtype):
+    """Inverse factor matrices for one axis with resampling, replicating
+    jnp.fft.irfftn(..., s=out_sizes) EXACTLY: the input-sized spectrum is
+    truncated/zero-padded at the END of each axis before inversion, so a
+    kept row whose spectrum index is k contributes frequency k over the
+    OUT grid (for out_size == size this reduces to the usual
+    negative-frequency reading of the high corner), and rows with
+    k >= spectrum budget are dropped.  Rows on the rfft axis carry the
+    conjugate-pair doubling for the OUT length.  Returned as (cos, sin)
+    of the forward angle, i.e. the inverse kernel is C - i*S."""
     import numpy as np
-    c = np.full(half, 2.0)
-    c[0] = 1.0
-    if size % 2 == 0 and half == size // 2 + 1:
-        c[-1] = 1.0
-    return jnp.asarray(c, dtype)
+    if last:
+        f = np.arange(half)
+        budget = out_size // 2 + 1
+    else:
+        f = np.concatenate([np.arange(half), np.arange(size - half, size)])
+        budget = out_size
+    n = np.arange(out_size)
+    ang = -2.0 * np.pi * np.outer(f % max(out_size, 1), n) / out_size
+    keep = (f < budget).astype(np.float64)[:, None]
+    C = np.cos(ang) * keep
+    S = np.sin(ang) * keep
+    if last:
+        c = np.full(half, 2.0)
+        c[0] = 1.0
+        if out_size % 2 == 0:
+            c[f == out_size // 2] = 1.0
+        C = C * c[:, None]
+        S = S * c[:, None]
+    return jnp.asarray(C, dtype), jnp.asarray(S, dtype)
 
 
 def truncated_dft_conv_nd(
@@ -116,6 +136,7 @@ def truncated_dft_conv_nd(
     *,
     fft_norm: str = "backward",
     bias: Optional[jnp.ndarray] = None,
+    output_sizes: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     """Spectral convolution computed as a truncated-DFT matmul sandwich —
     no FFT at all.
@@ -131,7 +152,10 @@ def truncated_dft_conv_nd(
 
     Since the full spectrum is never materialized, normalization reduces to
     one static scale: backward/forward/ortho all collapse to 1/prod(sizes)
-    when input and output sizes agree.
+    when input and output sizes agree; with `output_sizes` (the up/down-
+    scaling layers) the scale follows the rfftn(norm)/irfftn(norm) pair and
+    the inverse matrices replicate irfftn's pad/truncate-at-end semantics
+    exactly (see _idft_mats).
     """
     order = len(half_modes)
     spatial = x.shape[1:1 + order]
@@ -186,23 +210,34 @@ def truncated_dft_conv_nd(
 
     # ---- inverse: contract mode axis 2 repeatedly with conj(F)^T; the
     # rfft axis takes the real part with conjugate-pair doubling, and the
-    # whole normalization lands as one static scale
-    scale = 1.0
-    for s in spatial:
-        scale /= s
+    # whole normalization lands as one static scale (matching the
+    # rfftn(norm) + irfftn(norm) pair of the FFT path)
+    out_sizes = tuple(output_sizes) if output_sizes is not None \
+        else tuple(spatial)
+    n_in = n_out = 1
+    for s, o in zip(spatial, out_sizes):
+        n_in *= s
+        n_out *= o
+    if fft_norm == "backward":
+        scale = 1.0 / n_out
+    elif fft_norm == "forward":
+        scale = 1.0 / n_in
+    else:  # ortho
+        scale = 1.0 / (n_in * n_out) ** 0.5
     re, im = orr, oii
-    for k, (Cm, Sm) in enumerate(mats):
+    for k in range(order):
         last = k == order - 1
+        Cm, Sm = _idft_mats(spatial[k], half_modes[k], last,
+                            out_sizes[k], dt)
         if last:
-            c = _nyquist_doubling(spatial[k], half_modes[k], dt)[:, None]
-            Cm = Cm * (c * scale)
-            Sm = Sm * (c * scale)
+            Cm = Cm * scale
+            Sm = Sm * scale
         # inverse kernel e^{+i*2pi f n/N} = conj(F) = C - i*S, so
         # (re + i*im)(C - i*S) -> real: re*C + im*S, imag: -re*S + im*C
         rC = jnp.tensordot(re, Cm, axes=[[2], [0]], precision=hp)
         iS = jnp.tensordot(im, Sm, axes=[[2], [0]], precision=hp)
         if last:
-            re = rC + iS   # real part only (conjugate symmetry folded in c)
+            re = rC + iS   # real part only (conjugate symmetry folded in)
             break
         rS = jnp.tensordot(re, Sm, axes=[[2], [0]], precision=hp)
         iC = jnp.tensordot(im, Cm, axes=[[2], [0]], precision=hp)
@@ -276,19 +311,19 @@ def spectral_conv_nd(
     """
     order = len(half_modes)
     if backend != "xla":
-        dft_ok = (not separable and output_sizes is None
-                  and x.ndim == order + 2)
+        dft_ok = not separable and x.ndim == order + 2
         if backend == "dft" and not dft_ok:
             raise ValueError(
-                "backend='dft' requires separable=False, output_sizes=None "
-                "and an unbatched (B, *spatial, C) input")
+                "backend='dft' requires separable=False and an unbatched "
+                "(B, *spatial, C) input")
         if backend == "dft" or (backend == "auto" and dft_ok
                                 and jax.default_backend() == "tpu"):
             # XLA's TPU FFT runs far below the roofline; the truncated-DFT
             # matmul sandwich is ~3x faster on the PINO trunk and exact
             # (see truncated_dft_conv_nd).  CPU keeps the FFT path.
             return truncated_dft_conv_nd(
-                x, weights, half_modes, fft_norm=fft_norm, bias=bias)
+                x, weights, half_modes, fft_norm=fft_norm, bias=bias,
+                output_sizes=output_sizes)
         pallas_ok = (order == 2 and not separable and x.ndim == 4
                      and x.dtype in (jnp.float32, jnp.bfloat16)
                      and len(weights) == 2)

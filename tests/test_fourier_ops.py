@@ -74,6 +74,23 @@ def test_dft_backend_factorized_and_grads(factorization):
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("out_sizes", [(24, 24), (6, 6), (24, 6), (13, 9)])
+@pytest.mark.parametrize("norm", ["backward", "forward"])
+def test_dft_backend_output_scaling_matches_fft_path(out_sizes, norm):
+    """The DFT path must replicate irfftn(s=output_sizes)'s pad/truncate
+    semantics exactly for the up/down-scaling layers (UNO)."""
+    half_modes = (3, 3)
+    ws = _weights(jax.random.PRNGKey(10), 2, (3, 4, *half_modes))
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 12, 12, 3))
+    ref = fourier.spectral_conv_nd(x, ws, half_modes, fft_norm=norm,
+                                   output_sizes=out_sizes)
+    out = fourier.spectral_conv_nd(x, ws, half_modes, fft_norm=norm,
+                                   output_sizes=out_sizes, backend="dft")
+    assert out.shape == ref.shape == (2, *out_sizes, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_dft_backend_bias():
     half_modes = (3, 3)
     ws = _weights(jax.random.PRNGKey(8), 2, (3, 3, *half_modes))
