@@ -402,13 +402,29 @@ def _eig_solve_real(grid: ChannelGrid, R, kk):
                       precision=_SOLVE_PREC)
 
 
+# "auto": fused Pallas solve on TPU for unbatched f32 calls, unfused
+# otherwise.  "unfused" forces the XLA path; "fused" forces the kernel.
+POISSON_BACKEND = "auto"
+
+
 def poisson_solve(grid: ChannelGrid, rhs):
-    """Solve (d_yy + kxx + kzz) p = rhs: rfft over z, fft over x, shared
-    eigen-solve over y; the regularized (0,0) mean mode
-    (1.5*D[0,0], control_env.py:598-599) gets its dedicated inverse.
-    The spectral solve runs on a real-stacked (re, im) axis — complex
-    matmuls/scatters are avoided entirely (backend miscompiles them under
-    vmap)."""
+    """Solve (d_yy + kxx + kzz) p = rhs — dispatches to the fused Pallas
+    kernel (envs/poisson_pallas.py) on TPU, else the XLA path."""
+    if POISSON_BACKEND != "unfused" and rhs.ndim == 3 and \
+            rhs.dtype == jnp.float32 and (
+                POISSON_BACKEND == "fused"
+                or jax.default_backend() == "tpu"):
+        from .poisson_pallas import poisson_solve_fused
+        return poisson_solve_fused(grid, rhs)
+    return _poisson_solve_unfused(grid, rhs)
+
+
+def _poisson_solve_unfused(grid: ChannelGrid, rhs):
+    """XLA path: DFT matmuls over z/x, shared eigen-solve over y; the
+    regularized (0,0) mean mode (1.5*D[0,0], control_env.py:598-599) gets
+    its dedicated inverse.  The spectral solve runs on a real-stacked
+    (re, im) axis — complex matmuls/scatters are avoided entirely
+    (backend miscompiles them under vmap)."""
     Nzr = grid.Nz // 2 + 1
     R = _spectrum_fwd(grid, rhs)                  # (2, Nx, n, Nzr)
     kk = (grid.kxx[:, None, None]

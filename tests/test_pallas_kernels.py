@@ -84,3 +84,31 @@ def test_spectral_conv_pallas_backend_grad():
     for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_fused_poisson_matches_unfused():
+    """envs/poisson_pallas: the fused-VMEM solve must match the XLA path
+    (forward and the delegated custom-VJP gradient), interpret mode."""
+    from functools import partial as _partial
+    from pde_policylearning_tpu.envs import channel_flow as cf
+    from pde_policylearning_tpu.envs import poisson_pallas as pp
+
+    grid = cf.make_channel_grid(Nx=8, Ny=17, Nz=8, dtype=jnp.float32)
+    rhs = jnp.asarray(np.random.default_rng(3).normal(size=(8, 16, 8)),
+                      jnp.float32)
+    ref = cf._poisson_solve_unfused(grid, rhs)
+    out = pp._solve_impl(grid, rhs, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-6)
+
+    orig = pp._solve_impl
+    pp._solve_impl = _partial(orig, interpret=True)
+    try:
+        g = jax.grad(lambda r: jnp.sum(
+            pp.poisson_solve_fused(grid, r) ** 2))(rhs)
+    finally:
+        pp._solve_impl = orig
+    g2 = jax.grad(lambda r: jnp.sum(
+        cf._poisson_solve_unfused(grid, r) ** 2))(rhs)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
+                               rtol=5e-3, atol=1e-5)
