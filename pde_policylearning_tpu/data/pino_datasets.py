@@ -106,10 +106,20 @@ class KFDataset:
     @classmethod
     def generate(cls, key, n_traj: int, S: int, T: int, re: float = 40.0,
                  t_interval: float = 1.0, with_re=True):
-        """Self-hosted generation via the pseudo-spectral solver."""
+        """Self-hosted generation via the pseudo-spectral solver.
+
+        Generated in chunks of <=8 trajectories: at the reference pretrain
+        resolution (128x128x65) a single all-trajectory rollout OOMs the
+        16 GB chip (the rollout materializes substep frames)."""
+        import jax as _jax
         from .synthetic import generate_kolmogorov_data
-        traj = np.asarray(generate_kolmogorov_data(
-            key, n_traj, S, T, visc=1.0 / re, t_interval=t_interval))
+        chunks = []
+        for i in range(0, n_traj, 8):
+            k = _jax.random.fold_in(key, i)
+            nb = min(8, n_traj - i)
+            chunks.append(np.asarray(generate_kolmogorov_data(
+                k, nb, S, T, visc=1.0 / re, t_interval=t_interval)))
+        traj = np.concatenate(chunks, axis=0)
         traj = np.transpose(traj, (0, 3, 1, 2))  # (N, T, S, S)
         tmp = os.path.join("/tmp", f"kf_Re{int(re)}_{n_traj}x{S}x{T}.npy")
         np.save(tmp, traj)

@@ -409,7 +409,12 @@ POISSON_BACKEND = "auto"
 
 def poisson_solve(grid: ChannelGrid, rhs):
     """Solve (d_yy + kxx + kzz) p = rhs — dispatches to the fused Pallas
-    kernel (envs/poisson_pallas.py) on TPU, else the XLA path."""
+    kernel (envs/poisson_pallas.py) on TPU, else the XLA path.
+
+    Note for spatially-sharded (GSPMD) TPU runs: the opaque pallas_call
+    cannot be partitioned over the x axis, so XLA will replicate it; set
+    POISSON_BACKEND='unfused' for multi-chip x-sharded stepping to let
+    SPMD partition the DFT matmuls instead."""
     if POISSON_BACKEND != "unfused" and rhs.ndim == 3 and \
             rhs.dtype == jnp.float32 and (
                 POISSON_BACKEND == "fused"

@@ -46,22 +46,33 @@ class SpectralConvND(nn.Module):
 
 class PINOTrunk(nn.Module):
     """`len(layers)-1` x (SpectralConv3d + pointwise skip) with activation
-    between layers (pinobserver.py:178-183, 259-266)."""
+    between layers (pinobserver.py:178-183, 259-266).
+
+    remat: checkpoint each layer so backward recomputes activations
+    instead of storing them — at the reference pretrain resolution
+    (128x128x65, width 64, b4) the stored activations alone exceed a
+    16 GB chip; remat trades ~30% step time for O(1-layer) memory."""
     layers: Sequence[int]
     modes1: Sequence[int]
     modes2: Sequence[int]
     modes3: Sequence[int]
     act: str = "gelu"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         act = get_act(self.act)
         n = len(self.layers) - 1
         for i in range(n):
-            x1 = SpectralConvND(self.layers[i], self.layers[i + 1],
-                                (self.modes1[i], self.modes2[i],
-                                 self.modes3[i]), name=f"sp{i}")(x)
-            x2 = nn.Dense(self.layers[i + 1], name=f"w{i}")(x)
+            layer_cls = SpectralConvND
+            dense_cls = nn.Dense
+            if self.remat:
+                layer_cls = nn.remat(SpectralConvND)
+                dense_cls = nn.remat(nn.Dense)
+            x1 = layer_cls(self.layers[i], self.layers[i + 1],
+                           (self.modes1[i], self.modes2[i],
+                            self.modes3[i]), name=f"sp{i}")(x)
+            x2 = dense_cls(self.layers[i + 1], name=f"w{i}")(x)
             x = x1 + x2
             if i != n - 1:
                 x = act(x)
@@ -100,6 +111,7 @@ class PINObserver2d(nn.Module):
     act: str = "gelu"
     pad_ratio: Sequence[float] = (0.0, 0.0)
     use_fourier_layer: bool = False
+    remat: bool = False   # O(1-layer) activation memory (see PINOTrunk)
 
     @nn.compact
     def __call__(self, x, re):
@@ -116,7 +128,7 @@ class PINObserver2d(nn.Module):
         x = MultiplicativeNet(layers[0], name="mnet1")(x, code)
         x = _pad_t(x, num_pad)
         x = PINOTrunk(layers, self.modes1, self.modes2, self.modes3,
-                      self.act, name="trunk")(x)
+                      self.act, remat=self.remat, name="trunk")(x)
         x = _unpad_t(x, num_pad)
         x = MultiplicativeNet(layers[-1], name="mnet2")(x, code)
         x = nn.Dense(self.fc_dim, name="fc1")(x)

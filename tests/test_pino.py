@@ -116,3 +116,23 @@ def test_kf_dataset_generate_and_train():
     assert hist["total"][-1] < hist["total"][0] * 2  # sane trajectory
     err = eval_ns(model, params, (u, a, re), batch_size=2)
     assert np.isfinite(err)
+
+
+def test_pino_remat_matches_plain():
+    """remat=True must be numerically identical (same params, same out)
+    and reduce nothing but memory."""
+    import jax
+    from pde_policylearning_tpu.models.pino import PINObserver2d
+    kw = dict(modes1=[3] * 2, modes2=[3] * 2, modes3=[2] * 2,
+              layers=[8, 8, 8], fc_dim=16, in_dim=4)
+    a = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 5, 4))
+    re = jnp.full((2,), 100.0)
+    plain = PINObserver2d(**kw)
+    rem = PINObserver2d(remat=True, **kw)
+    params = plain.init(jax.random.PRNGKey(1), a, re)["params"]
+    o1 = plain.apply({"params": params}, a, re)
+    o2 = rem.apply({"params": params}, a, re)  # same param tree
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+    g = jax.grad(lambda p: jnp.sum(
+        rem.apply({"params": p}, a, re) ** 2))(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
