@@ -23,7 +23,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..envs import channel_flow as cf
-from .mesh import MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
 
 
 def shard_env_state(mesh: Mesh, state: cf.ChannelState) -> cf.ChannelState:
@@ -80,3 +80,43 @@ def sharded_rollout(mesh: Mesh, grid: cf.ChannelGrid,
         return st, p2
 
     return jax.lax.scan(body, state, None, length=n_steps)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel multi-env rollout: one (or more) independent environments
+# per device over the 'data' mesh axis.  This is the throughput multiplier
+# for data collection on a pod: the envs never communicate, so aggregate
+# steps/s scales linearly with chips (unlike single-chip vmap, which this
+# backend batches anti-linearly — NOTES_r2).
+#
+# For TPU pods set channel_flow.POISSON_BACKEND = "unfused" first: the
+# fused pallas_call is opaque to GSPMD and would replicate instead of
+# splitting over the batch.
+# ---------------------------------------------------------------------------
+
+def shard_env_batch(mesh: Mesh, states: cf.ChannelState) -> cf.ChannelState:
+    """Place a batched ChannelState (leading env axis on every leaf) with
+    the env axis sharded over the 'data' mesh axis."""
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, bsh), states)
+
+
+def data_parallel_rollout(mesh: Mesh, grid: cf.ChannelGrid,
+                          states: cf.ChannelState, n_steps: int,
+                          detect_plane: int = 25, policy: str = "gt",
+                          collect_fields: bool = False):
+    """`channel_flow.batched_rollout` with the env batch sharded over
+    'data'; sharding constraints inside keep every per-env computation
+    local to its device (zero collectives in the stepping loop)."""
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+
+    @partial(jax.jit, static_argnames=("n_steps", "detect_plane", "policy",
+                                       "collect_fields"))
+    def run(states, n_steps, detect_plane, policy, collect_fields):
+        states = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, bsh), states)
+        return cf.batched_rollout(grid, states, n_steps,
+                                  detect_plane=detect_plane, policy=policy,
+                                  collect_fields=collect_fields)
+    return run(shard_env_batch(mesh, states), n_steps, detect_plane,
+               policy, collect_fields)

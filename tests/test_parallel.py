@@ -148,3 +148,25 @@ def test_sharded_mg_training_step():
         lambda acc, l: acc + float(jnp.sum(jnp.abs(l))), jax.tree.map(
             lambda a, b: a - b, p2, params), 0.0)
     assert delta > 0
+
+
+def test_data_parallel_rollout_matches_unsharded():
+    """One env per device over 'data': must equal the unsharded batched
+    rollout bit-for-bit (no cross-env communication)."""
+    from pde_policylearning_tpu.envs import channel_flow as cf
+    from pde_policylearning_tpu.parallel import (data_parallel_rollout,
+                                                 make_mesh)
+    mesh = make_mesh(model_parallel_size=1)
+    grid = cf.make_channel_grid(Nx=8, Ny=17, Nz=8)
+    states = cf.init_batched_states(grid, 8, jax.random.PRNGKey(0),
+                                    noise=0.02)
+    ref_states, ref_outs = cf.batched_rollout(grid, states, 3,
+                                              detect_plane=3, policy="gt")
+    dp_states, dp_outs = data_parallel_rollout(mesh, grid, states, 3,
+                                               detect_plane=3, policy="gt")
+    np.testing.assert_allclose(np.asarray(dp_states.U),
+                               np.asarray(ref_states.U), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp_outs[0]),
+                               np.asarray(ref_outs[0]), rtol=1e-4,
+                               atol=1e-6)
