@@ -105,7 +105,7 @@ class KFDataset:
 
     @classmethod
     def generate(cls, key, n_traj: int, S: int, T: int, re: float = 40.0,
-                 t_interval: float = 1.0, with_re=True):
+                 t_interval: float = 1.0, with_re=True, save_path=None):
         """Self-hosted generation via the pseudo-spectral solver.
 
         Generated in chunks of <=8 trajectories: at the reference pretrain
@@ -121,7 +121,9 @@ class KFDataset:
                 k, nb, S, T, visc=1.0 / re, t_interval=t_interval)))
         traj = np.concatenate(chunks, axis=0)
         traj = np.transpose(traj, (0, 3, 1, 2))  # (N, T, S, S)
-        tmp = os.path.join("/tmp", f"kf_Re{int(re)}_{n_traj}x{S}x{T}.npy")
+        tmp = save_path or os.path.join(
+            "/tmp", f"kf_Re{int(re)}_{n_traj}x{S}x{T}.npy")
+        os.makedirs(os.path.dirname(os.path.abspath(tmp)), exist_ok=True)
         np.save(tmp, traj)
         return cls.from_file([tmp], (S, S, T), (S, S, T), (S, S, T),
                              n_samples=n_traj, with_re=with_re)
