@@ -57,16 +57,23 @@ def main():
     n = 2000
     run_closed_loop(env, policy, n_steps=n, log_interval=n, verbose=False)
 
-    t0 = time.perf_counter()
-    run_closed_loop(env, policy, n_steps=n, log_interval=n, verbose=False)
-    dt = time.perf_counter() - t0
-    steps_per_s = n / dt
+    # Median of 3 timed runs: identical code measures +-25% across single
+    # runs on this shared-host tunnel (NOTES_r2), so one sample cannot
+    # distinguish a real 15% regression from noise (VERDICT r2 weak #4).
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_closed_loop(env, policy, n_steps=n, log_interval=n, verbose=False)
+        dt = time.perf_counter() - t0
+        runs.append(round(n / dt, 2))
+    steps_per_s = sorted(runs)[len(runs) // 2]
 
     print(json.dumps({
         "metric": "closed_loop_env_steps_per_sec",
-        "value": round(steps_per_s, 2),
+        "value": steps_per_s,
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 1),
+        "runs": runs,
     }))
 
 

@@ -54,14 +54,24 @@ def sharded_step(mesh: Mesh, grid: cf.ChannelGrid, state: cf.ChannelState,
             W=jax.lax.with_sharding_constraint(state.W, xsh2),
             dPdx=state.dPdx, meanU0=state.meanU0)
 
-    return step(state, jax.device_put(opV1, xsh2),
-                jax.device_put(opV2, xsh2))
+    with cf.force_unfused_poisson():
+        return step(state, jax.device_put(opV1, xsh2),
+                    jax.device_put(opV2, xsh2))
 
 
-@partial(jax.jit, static_argnames=("mesh", "n_steps", "detect_plane"))
 def sharded_rollout(mesh: Mesh, grid: cf.ChannelGrid,
                     state: cf.ChannelState, n_steps: int,
                     detect_plane: int = 25):
+    """Opposition-control rollout with x-sharded state (see impl)."""
+    with cf.force_unfused_poisson():
+        return _sharded_rollout_impl(mesh, grid, state, n_steps,
+                                     detect_plane)
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_steps", "detect_plane"))
+def _sharded_rollout_impl(mesh: Mesh, grid: cf.ChannelGrid,
+                          state: cf.ChannelState, n_steps: int,
+                          detect_plane: int = 25):
     """Opposition-control rollout with x-sharded state; the sharding
     constraint inside the scan body keeps XLA from gathering the state
     between steps."""
@@ -89,9 +99,9 @@ def sharded_rollout(mesh: Mesh, grid: cf.ChannelGrid,
 # steps/s scales linearly with chips (unlike single-chip vmap, which this
 # backend batches anti-linearly — NOTES_r2).
 #
-# For TPU pods set channel_flow.POISSON_BACKEND = "unfused" first: the
-# fused pallas_call is opaque to GSPMD and would replicate instead of
-# splitting over the batch.
+# All sharded entry points trace under channel_flow.force_unfused_poisson:
+# the fused pallas_call is opaque to GSPMD and would replicate instead of
+# splitting over the batch/x axis.
 # ---------------------------------------------------------------------------
 
 def shard_env_batch(mesh: Mesh, states: cf.ChannelState) -> cf.ChannelState:
@@ -118,5 +128,6 @@ def data_parallel_rollout(mesh: Mesh, grid: cf.ChannelGrid,
         return cf.batched_rollout(grid, states, n_steps,
                                   detect_plane=detect_plane, policy=policy,
                                   collect_fields=collect_fields)
-    return run(shard_env_batch(mesh, states), n_steps, detect_plane,
-               policy, collect_fields)
+    with cf.force_unfused_poisson():
+        return run(shard_env_batch(mesh, states), n_steps, detect_plane,
+                   policy, collect_fields)

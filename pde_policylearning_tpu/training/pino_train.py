@@ -27,13 +27,19 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
              xy_weight: float = 5.0, ic_weight: float = 1.0,
              f_weight: float = 1.0, t_interval: float = 1.0,
              params=None, rng=None, log_interval: int = 200,
-             eval_data=None, compute_dtype=None, verbose: bool = True):
+             eval_data=None, compute_dtype=None, accum_steps: int = 1,
+             checkpoint_fn=None, verbose: bool = True):
     """Kolmogorov-flow PINO pretrain/finetune (train_pino.py:41-130).
 
     data: (u, a, re) arrays — u (N,S,S,T), a (N,S,S,T,4), re (N,).
     compute_dtype: optional forward dtype (e.g. jnp.bfloat16 for the MXU's
     native path); master params/optimizer/losses stay f32 — the PDE
     residual (spectral derivatives) is always evaluated on the f32 output.
+    accum_steps: gradient accumulation — each optimizer step averages the
+    gradients of `accum_steps` sequential micro-batches of size
+    batch_size // accum_steps, so the reference's batch-4 budget
+    (configs/pino-observer-pretrain-1s.yaml:36) fits single-chip HBM at
+    the full 128x128x65 resolution (b4 activations OOM; b1 fits).
     Returns (params, history).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -69,13 +75,38 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
                  + f_weight * loss_f)
         return total, (data_loss, loss_ic, loss_f)
 
+    if batch_size % accum_steps:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"accum_steps {accum_steps}")
+    micro = batch_size // accum_steps
+
     @jax.jit
     def run_chunk(params, opt_state, keys, u, a, re):
         def step(carry, key):
             p, s = carry
             idx = jax.random.choice(key, n, (batch_size,), replace=False)
-            (total, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, a[idx], u[idx], re[idx])
+            if accum_steps == 1:
+                (total, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, a[idx], u[idx], re[idx])
+            else:
+                # sequential micro-batches at micro-batch memory; the mean
+                # of per-micro-batch grads equals the full-batch grad
+                # (size_average LpLoss is a per-sample mean).
+                def acc(carry, ib):
+                    g_acc, m_acc = carry
+                    (tot, aux), g = jax.value_and_grad(
+                        loss_fn, has_aux=True)(p, a[ib], u[ib], re[ib])
+                    g_acc = jax.tree.map(jnp.add, g_acc, g)
+                    m_acc = tuple(x + y for x, y in zip(
+                        m_acc, (tot,) + aux))
+                    return (g_acc, m_acc), None
+                zero_g = jax.tree.map(jnp.zeros_like, p)
+                (g, msum), _ = jax.lax.scan(
+                    acc, (zero_g, (0.0, 0.0, 0.0, 0.0)),
+                    idx.reshape(accum_steps, micro))
+                g = jax.tree.map(lambda x: x / accum_steps, g)
+                total, aux = msum[0] / accum_steps, tuple(
+                    x / accum_steps for x in msum[1:])
             updates, s = opt.update(g, s)
             return (optax.apply_updates(p, updates), s), \
                 (total, aux[0], aux[1], aux[2])
@@ -101,7 +132,12 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
             print(f"iter {done}/{iterations}: total {metrics[0][-1]:.4f} "
                   f"data {metrics[1][-1]:.4f} ic {metrics[2][-1]:.4f} "
                   f"f {metrics[3][-1]:.4f} "
-                  f"({(time.perf_counter() - t0) / k * 1e3:.1f} ms/iter)")
+                  f"({(time.perf_counter() - t0) / k * 1e3:.1f} ms/iter)",
+                  flush=True)
+        if checkpoint_fn is not None:
+            # crash-resume hook for multi-hour runs on the fragile remote
+            # worker (reference analog: save_step, pino_utils/utils.py:156)
+            checkpoint_fn(done, params, opt_state)
     if eval_data is not None:
         history["eval"] = eval_ns(model, params, eval_data)
         if verbose:

@@ -118,6 +118,29 @@ def test_kf_dataset_generate_and_train():
     assert np.isfinite(err)
 
 
+def test_train_ns_grad_accumulation_matches_full_batch():
+    """accum_steps=k must reproduce the full-batch trajectory: the mean of
+    k micro-batch gradients equals the batch gradient (per-sample-mean
+    losses), so parameters after N iters agree to fp tolerance.  This is
+    the mechanism that fits the reference's batch-4 pretrain budget
+    (configs/pino-observer-pretrain-1s.yaml:36) in single-chip HBM."""
+    ds = KFDataset.generate(jax.random.PRNGKey(3), n_traj=4, S=8, T=5,
+                            re=40.0)
+    data = ds.arrays()
+    model = models.PINObserver2d(modes1=(2, 2), modes2=(2, 2),
+                                 modes3=(2, 2), layers=(4, 4), fc_dim=8)
+    kw = dict(iterations=4, batch_size=4, log_interval=4, verbose=False,
+              rng=jax.random.PRNGKey(5))
+    p1, h1 = train_ns(model, data, accum_steps=1, **kw)
+    p2, h2 = train_ns(model, data, accum_steps=2, **kw)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(h1["total"], h2["total"], rtol=1e-4)
+    with pytest.raises(ValueError):
+        train_ns(model, data, accum_steps=3, **kw)
+
+
 def test_pino_remat_matches_plain():
     """remat=True must be numerically identical (same params, same out)
     and reduce nothing but memory."""
