@@ -55,6 +55,12 @@ class FNOBlocks(nn.Module):
     fft_norm: str = "forward"
     incremental_n_modes: Optional[Sequence[int]] = None
     conv_backend: str = "auto"   # 'auto'|'xla'|'pallas' (spectral_layers)
+    # Reproduce the reference's post-activation condition verbatim
+    # (fno_block.py:152, including its precedence quirk) — needed for
+    # bit-exact forward parity when transplanting reference checkpoints
+    # (tests/test_reference_parity.py).  Default keeps the intended rule
+    # (see module docstring).
+    reference_act_quirk: bool = False
 
     def setup(self):
         modes = _norm_tuple(self.n_modes)
@@ -150,7 +156,13 @@ class FNOBlocks(nn.Module):
         x = x_fno + x_skip_fno
 
         last_layer = index == self.n_layers - 1
-        if not self.preactivation and (self.use_mlp or not last_layer):
+        if self.reference_act_quirk:
+            # fno_block.py:152 verbatim: `not prea and mlp` binds before
+            # `or`, and the second disjunct is index < n_layers - index
+            if (not self.preactivation and self.use_mlp) or \
+                    (index < self.n_layers - index):
+                x = self.non_linearity(x)
+        elif not self.preactivation and (self.use_mlp or not last_layer):
             x = self.non_linearity(x)
 
         if self.use_mlp:
@@ -198,6 +210,7 @@ class FNO(nn.Module):
     domain_padding_mode: str = "one-sided"
     fft_norm: str = "forward"
     conv_backend: str = "auto"
+    reference_act_quirk: bool = False  # see FNOBlocks
 
     def setup(self):
         self.n_dim = len(_norm_tuple(self.n_modes))
@@ -228,6 +241,7 @@ class FNO(nn.Module):
             fft_norm=self.fft_norm,
             incremental_n_modes=self.incremental_n_modes,
             conv_backend=self.conv_backend,
+            reference_act_quirk=self.reference_act_quirk,
             name="fno_blocks",
         )
         self.projection = layers.Projection(

@@ -35,6 +35,7 @@ class FNO2dObserver(nn.Module):
     modes2: int
     width: int
     use_v_plane: bool = False
+    reference_act_quirk: bool = False  # see models/fno.py FNOBlocks
 
     @nn.compact
     def __call__(self, p_plane, v_plane=None):
@@ -53,6 +54,7 @@ class FNO2dObserver(nn.Module):
             hidden_channels=self.width,
             in_channels=x.shape[-1],
             out_channels=1,
+            reference_act_quirk=self.reference_act_quirk,
             name="fno2d",
         )
         return fno(x)
@@ -69,7 +71,7 @@ class RNO2dObserver(nn.Module):
     pad_dim: str = "1"
 
     @nn.compact
-    def __call__(self, p_plane, v_plane=None, timestep: int = 2,
+    def __call__(self, p_plane, v_plane=None, timestep: Optional[int] = None,
                  deterministic: bool = True):
         rno = RNO2d(self.modes1, self.modes2, self.width,
                     recurrent_index=self.recurrent_index,

@@ -289,8 +289,14 @@ class RNO2d(nn.Module):
             x = pred[:, None]  # (B, 1, H, W, out_dim)
         return jnp.stack(outputs, axis=1)
 
-    def __call__(self, x, v_plane=None, timestep: int = 2,
+    def __call__(self, x, v_plane=None, timestep: Optional[int] = None,
                  deterministic: bool = True):
+        """timestep=None follows the reference exactly: rno.py:365 shadows
+        the `timestep=2` default with the input's sequence length, so the
+        rollout is always x.shape[1] steps.  Passing an int overrides (a
+        capability the reference's shadowed parameter can't express)."""
+        if timestep is None:
+            timestep = x.shape[1]
         preds = self.predict(x, num_steps=timestep,
                              deterministic=deterministic)
         return preds[:, self.recurrent_index]

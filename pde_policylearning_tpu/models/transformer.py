@@ -256,6 +256,8 @@ class SimpleTransformerEncoderLayer(nn.Module):
     activation_type: str = "relu"
     dropout: float = 0.1
     ffn_dropout: Optional[float] = None
+    norm_eps: float = 1e-5  # torch LayerNorm default (transformer_models
+    # uses it for both post-norms; flax's 1e-6 default would diverge)
 
     @nn.compact
     def __call__(self, x, pos=None, weight=None, deterministic=True):
@@ -280,7 +282,7 @@ class SimpleTransformerEncoderLayer(nn.Module):
         else:
             x = x - att_output
         if self.layer_norm:
-            x = nn.LayerNorm(name="layer_norm1")(x)
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm1")(x)
         x1 = FeedForward(dim_feedforward=self.dim_feedforward,
                          activation=self.activation_type,
                          dropout=self.ffn_dropout or self.dropout,
@@ -289,7 +291,7 @@ class SimpleTransformerEncoderLayer(nn.Module):
             x1 = nn.Dropout(self.dropout)(x1, deterministic=deterministic)
         x = x + x1
         if self.layer_norm:
-            x = nn.LayerNorm(name="layer_norm2")(x)
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm2")(x)
         return x, attn_weight
 
 
