@@ -16,6 +16,8 @@ import numpy as np
 
 from ..envs import channel_flow as cf
 
+_boundary_pressures_jit = jax.jit(cf.boundary_pressures)
+
 
 @partial(jax.jit, static_argnames=("policy_fn", "n_steps", "collect_planes",
                                    "detect_plane"))
@@ -23,6 +25,16 @@ def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
                       key, collect_planes: bool = False, policy_carry=None,
                       detect_plane: int = 25):
     stateful = policy_carry is not None
+    # Fused TPU path: carry the state in the Pallas kernels' (y, x*z)
+    # layout across the WHOLE scan — per-step layout flips around the
+    # kernels are the round-2 9x-regression failure mode.  Policies see
+    # the kernel-layout state (gt_control handles it; observer policies
+    # only read p2) and (Nx, Nz) pressure planes.
+    fused = cf._rk3_fused_eligible(state.U)
+    if fused:
+        from ..envs import rk3_pallas as rk
+        in_dtype = state.U.dtype
+        state = rk.state_to_kstate(state)
 
     def body(carry, k):
         st, p2_obs, pc = carry
@@ -30,12 +42,18 @@ def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
             opV1, opV2, pc = policy_fn(pc, st, p2_obs, k)
         else:
             opV1, opV2 = policy_fn(st, p2_obs, k)
-        st = cf.rk3_step(grid, st, opV1, opV2)
-        _, p2_next = cf.boundary_pressures(grid, st)
-        info = cf.step_metrics(grid, st, p2_next)
-        if collect_planes:
+        if fused:
+            from ..envs import rk3_pallas as rk
+            st, p2_next, info = rk.env_step_k(grid, st, opV1, opV2)
+            v_plane = st.V[st.V.shape[0] - detect_plane].reshape(
+                grid.Nx, grid.Nz)
+        else:
+            st = cf.rk3_step(grid, st, opV1, opV2)
+            _, p2_next = cf.boundary_pressures(grid, st)
+            info = cf.step_metrics(grid, st, p2_next)
             v_plane = st.V[:, -detect_plane, :]
-            out = (info, p2_next, opV2, v_plane)
+        if collect_planes:
+            out = (info, p2_next, opV2.reshape(grid.Nx, grid.Nz), v_plane)
         else:
             out = (info,)
         return (st, p2_next, pc), out
@@ -43,6 +61,9 @@ def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
     keys = jax.random.split(key, n_steps)
     (state, p2, policy_carry), outs = jax.lax.scan(
         body, (state, p2, policy_carry), keys)
+    if fused:
+        from ..envs import rk3_pallas as rk
+        state = rk.kstate_to_state(grid, state, in_dtype)
     return state, p2, policy_carry, outs
 
 
@@ -61,7 +82,10 @@ def run_closed_loop(env, policy_fn, n_steps: int,
     mirroring run_control.py:294-295.
     """
     key = jax.random.PRNGKey(seed)
-    _, p2 = cf.boundary_pressures(env.grid, env.state)
+    # jit the one-off observation: eagerly it dispatches dozens of ops (or
+    # an eager pallas call + layout transposes) through the remote tunnel,
+    # costing seconds per run_closed_loop call on axon
+    _, p2 = _boundary_pressures_jit(env.grid, env.state)
     all_infos = []
     all_p2, all_op = [], []
     done = 0

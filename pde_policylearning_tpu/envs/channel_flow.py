@@ -533,7 +533,15 @@ def boundary_pressures(grid: ChannelGrid, state: ChannelState):
 
     Fast path: only the 4 wall-adjacent y-rows of the pressure are needed,
     so the synthesis matmul uses a 4-row slice of the eigenvector matrix —
-    ~32x less solve output than the reference's full-field observation."""
+    ~32x less solve output than the reference's full-field observation.
+    Dispatches to the fused kernel on TPU (RK3_BACKEND gates both)."""
+    if _rk3_fused_eligible(state.U):
+        from .rk3_pallas import boundary_pressures_fused
+        return boundary_pressures_fused(grid, state)
+    return _boundary_pressures_unfused(grid, state)
+
+
+def _boundary_pressures_unfused(grid: ChannelGrid, state: ChannelState):
     rhs = _pressure_rhs(grid, state)
     Nzr = grid.Nz // 2 + 1
     n = grid.Ny - 1
@@ -559,10 +567,32 @@ def boundary_pressures(grid: ChannelGrid, state: ChannelState):
     return p1, p2
 
 
+# Fused whole-substage stepping (envs/rk3_pallas.py): 'auto' routes
+# unbatched f32 steps through the (y, x*z)-layout kernel chain on TPU;
+# sharded programs trace under force_unfused_poisson, which forces the
+# XLA path here too (the kernels are opaque to GSPMD).
+RK3_BACKEND = "auto"
+
+
+def _rk3_fused_eligible(U):
+    return (RK3_BACKEND != "unfused" and _FORCE_UNFUSED_DEPTH == 0
+            and U.ndim == 3 and U.dtype == jnp.float32
+            and (RK3_BACKEND == "fused" or jax.default_backend() == "tpu"))
+
+
 def rk3_step(grid: ChannelGrid, state: ChannelState, opV1, opV2
              ) -> ChannelState:
     """One RK3 substep triple + mass-flow correction
-    (control_env.py:533-580)."""
+    (control_env.py:533-580).  Dispatches to the fused Pallas substage
+    chain on TPU (see RK3_BACKEND / envs/rk3_pallas.py)."""
+    if _rk3_fused_eligible(state.U):
+        from .rk3_pallas import rk3_step_fused
+        return rk3_step_fused(grid, state, opV1, opV2)
+    return _rk3_step_unfused(grid, state, opV1, opV2)
+
+
+def _rk3_step_unfused(grid: ChannelGrid, state: ChannelState, opV1, opV2
+                      ) -> ChannelState:
     dt = grid.dt
     U0, V0, W0 = state.U, state.V, state.W
     # actuation may arrive from an f32 observer while the env runs f64 (or
@@ -682,7 +712,17 @@ def step_metrics(grid: ChannelGrid, state: ChannelState, p2):
 @partial(jax.jit, static_argnums=())
 def env_step(grid: ChannelGrid, state: ChannelState, opV1, opV2):
     """Full environment step: advance + observe + score
-    (control_env.py:639-664).  Returns (state', p2, div_reward, info)."""
+    (control_env.py:639-664).  Returns (state', p2, div_reward, info).
+
+    For repeated stepping use the scan-based entry points (rollout /
+    control.loop.closed_loop_chunk) — they carry the fused kernels'
+    layout across steps instead of converting here per call."""
+    if _rk3_fused_eligible(state.U):
+        from .rk3_pallas import env_step_k, kstate_to_state, state_to_kstate
+        dtype = state.U.dtype
+        kst, p2, info = env_step_k(grid, state_to_kstate(state), opV1, opV2)
+        state = kstate_to_state(grid, kst, dtype)
+        return state, p2, info["drag_reduction/4_1_-|divergence|"], info
     state = rk3_step(grid, state, opV1, opV2)
     p1, p2 = boundary_pressures(grid, state)
     info = step_metrics(grid, state, p2)
@@ -691,7 +731,12 @@ def env_step(grid: ChannelGrid, state: ChannelState, opV1, opV2):
 
 def gt_control(state: ChannelState, detect_plane: int):
     """Opposition control: negate V at the detection planes
-    (control_env.py:416-421)."""
+    (control_env.py:416-421).  Handles both the (Nx, Ny, Nz) layout and
+    the fused scan's kernel layout (rows=y, cols=x*Nz+z 2-D leaves,
+    envs/rk3_pallas.state_to_kstate)."""
+    V = state.V
+    if V.ndim == 2:  # kernel layout: rows are y; planes come out (C,)
+        return -V[detect_plane], -V[V.shape[0] - detect_plane]
     opV1 = -state.V[:, detect_plane, :]
     opV2 = -state.V[:, -detect_plane, :]
     return opV1, opV2
@@ -718,6 +763,12 @@ def rollout(grid: ChannelGrid, state: ChannelState, n_steps: int,
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    fused = _rk3_fused_eligible(state.U)
+    if fused:
+        from . import rk3_pallas as rk
+        in_dtype = state.U.dtype
+        state = rk.state_to_kstate(state)
+
     def body(carry, k):
         st = carry
         if policy == "gt":
@@ -729,16 +780,40 @@ def rollout(grid: ChannelGrid, state: ChannelState, n_steps: int,
         else:
             opV1 = jnp.zeros((grid.Nx, grid.Nz), st.U.dtype)
             opV2 = opV1
-        st = rk3_step(grid, st, opV1, opV2)
-        _, p2 = boundary_pressures(grid, st)
-        v_plane = st.V[:, -detect_plane, :]
+        if fused:
+            from . import rk3_pallas as rk
+            C = grid.Nx * grid.Nz
+            op1 = jnp.reshape(opV1, (1, C))
+            op2 = jnp.reshape(opV2, (1, C))
+            U, V, W, dPdx = rk.rk3_step_k(grid, st.U, st.V, st.W,
+                                          st.dPdx, st.meanU0, op1, op2)
+            st = st.replace(U=U, V=V, W=W, dPdx=dPdx)
+            _, p2 = rk.boundary_pressures_k(grid, U, V, W, dPdx)
+            p2 = p2.reshape(grid.Nx, grid.Nz)
+            v_plane = V[V.shape[0] - detect_plane].reshape(grid.Nx,
+                                                           grid.Nz)
+        else:
+            st = rk3_step(grid, st, opV1, opV2)
+            _, p2 = boundary_pressures(grid, st)
+            v_plane = st.V[:, -detect_plane, :]
         out = (p2, v_plane, st.dPdx)
         if collect_fields:
             out = out + (st.U, st.V, st.W)
         return st, out
 
     keys = jax.random.split(key, n_steps)
-    return jax.lax.scan(body, state, keys, length=n_steps)
+    state, outs = jax.lax.scan(body, state, keys, length=n_steps)
+    if fused:
+        from . import rk3_pallas as rk
+        state = rk.kstate_to_state(grid, state, in_dtype)
+        if collect_fields:
+            # collected fields come out stacked kernel-layout (T, R, C);
+            # convert once after the scan
+            p2s, vps, dps, Us, Vs, Ws = outs
+            conv = jax.vmap(lambda a: rk.from_k(a, grid.Nx, grid.Nz))
+            outs = (p2s, vps, dps, conv(Us).astype(in_dtype),
+                    conv(Vs).astype(in_dtype), conv(Ws).astype(in_dtype))
+    return state, outs
 
 
 @partial(jax.jit, static_argnames=("n_steps", "detect_plane", "policy",

@@ -1,0 +1,669 @@
+"""Whole-substage fused RK3 kernels in the Poisson solve's (y, x*z) layout.
+
+Round-2 lesson (NOTES_r2): fusing *pieces* of the step as separate Pallas
+calls regresses the closed loop ~9x — XLA inserts operand-layout copies
+around every kernel.  The fix implemented here is to keep the ENTIRE
+stepping loop in one layout — rows = wall-normal y, columns = x*Nz + z
+(exactly the fused Poisson kernel's layout, envs/poisson_pallas.py) — so
+the state never changes layout between kernels:
+
+    kernel A (per substage): momentum RHS + RK update + no-slip/actuation
+        BC + cell divergence, all elementwise/VPU work on VMEM-resident
+        state; x-shifts are lane rolls by +-Nz, z-shifts are masked
+        lane-roll pairs (cols are x-major z-minor), y-stencils are sublane
+        slices.
+    kernel B (per substage): the eigen-factorized Poisson solve (same math
+        as poisson_pallas._kernel) + pressure-gradient correction + BC —
+        the projected substage state comes out in the same layout.
+    kernel C (per env step): boundary pressures — pressure RHS (shares
+        kernel A's stencil code) + spectral synthesis of the 4
+        wall-adjacent rows only.
+
+One env step = 3x(A+B) + C = 7 Pallas dispatches + scalar XLA glue
+(mass-flow correction, scoreboard), vs ~60 XLA kernels on the unfused
+path.  The closed-loop rollout (`channel_flow.rollout` routes here on
+TPU) carries the state in kernel layout across the whole scan; layout
+conversion happens once per rollout, not per step.
+
+Precision: stencils/updates are exact f32 VPU ops; only the Poisson
+matmuls use HIGHEST (the channel_flow._SOLVE_PREC requirement).
+
+Gradients: `rk3_step_fused` and `boundary_pressures_fused` carry custom
+VJPs that delegate to the unfused XLA implementations (differentiable-
+physics training is not throughput-bound; the fused path serves rollout/
+serving).
+
+reference: libs/envs/control_env.py:429-613 (RHS/step/projection),
+:423-427 (boundary pressures).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .poisson_pallas import _kron_mats
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# layout helpers: (Nx, R, Nz) <-> (R, Nx*Nz)  (rows = y, x-major z-minor)
+# ---------------------------------------------------------------------------
+
+def to_k(a):
+    """(Nx, R, Nz) -> (R, Nx*Nz)."""
+    Nx, R, Nz = a.shape
+    return jnp.transpose(a, (1, 0, 2)).reshape(R, Nx * Nz)
+
+
+def from_k(a, Nx, Nz):
+    """(R, Nx*Nz) -> (Nx, R, Nz)."""
+    R = a.shape[0]
+    return jnp.transpose(a.reshape(R, Nx, Nz), (1, 0, 2))
+
+
+def state_to_k(state):
+    """ChannelState -> kernel-layout leaf tuple (U, V, W)."""
+    return to_k(state.U), to_k(state.V), to_k(state.W)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel shift/stencil helpers (shared by kernels A and C)
+# ---------------------------------------------------------------------------
+
+def _shifts(Nz, C):
+    """Return (xm, xp, zm, zp) lane-shift closures for (rows, C) values.
+
+    cols = x*Nz + z.  x-shifts wrap the whole lane axis (roll by +-Nz);
+    z-shifts wrap within each Nz-column group: one main roll plus a
+    correction roll selected on the group-boundary columns."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    z0 = (col % Nz) == 0          # z == 0 columns
+    zl = (col % Nz) == (Nz - 1)   # z == Nz-1 columns
+
+    def roll(a, s):  # pltpu.roll requires shift >= 0: jnp.roll semantics
+        return pltpu.roll(a, s % C, 1)
+
+    def xm(a):
+        return roll(a, Nz)
+
+    def xp(a):
+        return roll(a, -Nz)
+
+    def zm(a):
+        return jnp.where(z0, roll(a, 1 - Nz), roll(a, 1))
+
+    def zp(a):
+        return jnp.where(zl, roll(a, Nz - 1), roll(a, -1))
+
+    return xm, xp, zm, zp
+
+
+def _rhs_terms(U, V, W, dPdx, nu, dx, dz, dyf, dyg, dym, sh):
+    """Momentum RHS in kernel layout; mirrors channel_flow._compute_rhs_
+    unfused term by term (y slices instead of axis-1 slices).
+    U, W: (Ny+1, C); V: (Ny, C).  Returns Fu (Ny+1, C), Fv (Ny, C),
+    Fw (Ny+1, C)."""
+    xm, xp, zm, zp = sh
+
+    def pad_y(a):
+        z = jnp.zeros((1, a.shape[1]), a.dtype)
+        return jnp.concatenate([z, a, z], axis=0)
+
+    # ---- Fu
+    UU = (0.5 * (U + xp(U))) ** 2
+    Fu = -(UU - xm(UU)) / dx
+    UV = (0.5 * (V + xm(V))) * (0.5 * (U[:-1] + U[1:]))        # (Ny, C)
+    Fu = Fu - pad_y((UV[1:] - UV[:-1]) / dyf)
+    UW = (0.5 * (W + xm(W))) * (0.5 * (U + zm(U)))
+    Fu = Fu - (zp(UW) - UW) / dz
+    Fu = Fu + nu * (xp(U) - 2 * U + xm(U)) / dx ** 2
+    dU = (U[1:] - U[:-1]) / dyg                                 # (Ny, C)
+    Fu = Fu + pad_y(nu * (dU[1:] - dU[:-1]) / dyf)
+    Fu = Fu + nu * (zp(U) - 2 * U + zm(U)) / dz ** 2
+    Fu = Fu + dPdx / 2
+
+    # ---- Fv
+    Fv = -(xp(UV) - UV) / dx
+    VV = (0.5 * (V[:-1] + V[1:])) ** 2                          # (Ny-1, C)
+    Fv = Fv - pad_y((VV[1:] - VV[:-1]) / dym)
+    VW = (0.5 * (V + zm(V))) * (0.5 * (W[:-1] + W[1:]))         # (Ny, C)
+    Fv = Fv - (zp(VW) - VW) / dz
+    Fv = Fv + nu * (xp(V) - 2 * V + xm(V)) / dx ** 2
+    dV = (V[1:] - V[:-1]) / dyf                                 # (Ny-1, C)
+    Fv = Fv + pad_y(nu * (dV[1:] - dV[:-1]) / dym)
+    Fv = Fv + nu * (zp(V) - 2 * V + zm(V)) / dz ** 2
+
+    # ---- Fw
+    Fw = -(xp(UW) - UW) / dx
+    Fw = Fw - pad_y((VW[1:] - VW[:-1]) / dyf)
+    WW = (0.5 * (W + zp(W))) ** 2
+    Fw = Fw - (WW - zm(WW)) / dz
+    Fw = Fw + nu * (xp(W) - 2 * W + xm(W)) / dx ** 2
+    dW = (W[1:] - W[:-1]) / dyg
+    Fw = Fw + pad_y(nu * (dW[1:] - dW[:-1]) / dyf)
+    Fw = Fw + nu * (zp(W) - 2 * W + zm(W)) / dz ** 2
+    return Fu, Fv, Fw
+
+
+def _apply_bc(U, V, W, op1, op2):
+    """No-slip ghost rows for U/W, actuation rows for V (rows = y)."""
+    U = jnp.concatenate([-U[1:2], U[1:-1], -U[-2:-1]], axis=0)
+    W = jnp.concatenate([-W[1:2], W[1:-1], -W[-2:-1]], axis=0)
+    V = jnp.concatenate([op1, V[1:-1], op2], axis=0)
+    return U, V, W
+
+
+def _div_k(U, V, W, dx, dz, dyf, sh):
+    """Cell divergence (Ny-1, C) of kernel-layout fields."""
+    xm, xp, zm, zp = sh
+    Ui = U[1:-1]
+    Wi = W[1:-1]
+    return ((xp(Ui) - Ui) / dx + (V[1:] - V[:-1]) / dyf
+            + (zp(Wi) - Wi) / dz)
+
+
+# ---------------------------------------------------------------------------
+# kernel A: RHS + RK update + BC + divergence (one substage, pre-solve)
+# ---------------------------------------------------------------------------
+
+def _substage_kernel(Nz, C, nu, dx, dz, c_cur, c_prev, out_f,
+                     U_ref, V_ref, W_ref, U0_ref, V0_ref, W0_ref,
+                     F1u_ref, F1v_ref, F1w_ref,
+                     op1_ref, op2_ref, dPdx_ref, dt_ref,
+                     dyf_ref, dyg_ref, dym_ref,
+                     Un_ref, Vn_ref, Wn_ref, div_ref,
+                     Fu_ref, Fv_ref, Fw_ref):
+    sh = _shifts(Nz, C)
+    dyf = dyf_ref[...]
+    dyg = dyg_ref[...]
+    dym = dym_ref[...]
+    dPdx = dPdx_ref[0, 0]
+    dt = dt_ref[0, 0]
+
+    Fu, Fv, Fw = _rhs_terms(U_ref[...], V_ref[...], W_ref[...],
+                            dPdx, nu, dx, dz, dyf, dyg, dym, sh)
+    if out_f:
+        Fu_ref[...] = Fu
+        Fv_ref[...] = Fv
+        Fw_ref[...] = Fw
+
+    Un = U0_ref[...] + dt * c_cur * Fu
+    Vn = V0_ref[...] + dt * c_cur * Fv
+    Wn = W0_ref[...] + dt * c_cur * Fw
+    if c_prev:
+        Un = Un + dt * c_prev * F1u_ref[...]
+        Vn = Vn + dt * c_prev * F1v_ref[...]
+        Wn = Wn + dt * c_prev * F1w_ref[...]
+
+    Un, Vn, Wn = _apply_bc(Un, Vn, Wn, op1_ref[...], op2_ref[...])
+    Un_ref[...] = Un
+    Vn_ref[...] = Vn
+    Wn_ref[...] = Wn
+    div_ref[...] = _div_k(Un, Vn, Wn, dx, dz, dyf, sh)
+
+
+# ---------------------------------------------------------------------------
+# kernel B: Poisson solve + pressure correction + BC (one substage, post)
+# ---------------------------------------------------------------------------
+
+def _solve_correct_kernel(n, F, Nz, C, dx, dz, refine_steps,
+                          Y_ref, U_ref, V_ref, W_ref,
+                          op1_ref, op2_ref,
+                          TR_ref, TI_ref, TiR_ref, TiI_ref,
+                          A_ref, B_ref, denom_ref, kk_ref,
+                          Pinv00_ref, s00_ref,
+                          dd_ref, dl_ref, du_ref, dd0h_ref, dym_ref,
+                          Un_ref, Vn_ref, Wn_ref):
+    """Poisson solve of Y=(div) then U/V/W -= grad p on interior rows,
+    then BC.  The solve body is poisson_pallas._kernel's math verbatim."""
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, precision=_HP,
+                           preferred_element_type=jnp.float32)
+
+    Y = Y_ref[...]
+    t_re = dot(Y, TR_ref[...])
+    t_im = dot(Y, TI_ref[...])
+
+    A = A_ref[...]
+    B = B_ref[...]
+    denom = denom_ref[...]
+    Pinv00 = Pinv00_ref[...]
+    s00 = s00_ref[...]
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1) == 0
+    mask0 = jnp.where(col0, 1.0, 0.0)
+
+    def eig_solve(r_re, r_im):
+        P_re = dot(A, dot(B, r_re) / denom)
+        P_im = dot(A, dot(B, r_im) / denom)
+        p00_re = s00 * dot(Pinv00, s00 * r_re[:, 0:1])
+        p00_im = s00 * dot(Pinv00, s00 * r_im[:, 0:1])
+        P_re = P_re * (1.0 - mask0) + p00_re * mask0
+        P_im = P_im * (1.0 - mask0) + p00_im * mask0
+        return P_re, P_im
+
+    P_re, P_im = eig_solve(t_re, t_im)
+
+    if refine_steps:
+        kk = kk_ref[...]
+        dd = dd_ref[...]
+        dl = dl_ref[...]
+        du = du_ref[...]
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == 0
+        m00 = jnp.where(row0, 1.0, 0.0) * mask0
+        dd0_half = dd0h_ref[0, 0]
+        zrow = jnp.zeros((1, F), jnp.float32)
+
+        def tridiag(P):
+            app = (dd + kk) * P
+            app = app + dl * jnp.concatenate([zrow, P[:-1]], axis=0)
+            app = app + du * jnp.concatenate([P[1:], zrow], axis=0)
+            return app
+
+        for _ in range(refine_steps):
+            r_re = t_re - tridiag(P_re) - m00 * (dd0_half * P_re)
+            r_im = t_im - tridiag(P_im) - m00 * (dd0_half * P_im)
+            c_re, c_im = eig_solve(r_re, r_im)
+            P_re = P_re + c_re
+            P_im = P_im + c_im
+
+    p = dot(P_re, TiR_ref[...]) - dot(P_im, TiI_ref[...])   # (n, C)
+
+    sh = _shifts(Nz, C)
+    xm, _, zm, _ = sh
+    dym = dym_ref[...]                                       # (n-1, 1)
+    U = U_ref[...]
+    V = V_ref[...]
+    W = W_ref[...]
+    Un = jnp.concatenate([U[:1], U[1:-1] - (p - xm(p)) / dx, U[-1:]], 0)
+    Vn = jnp.concatenate([V[:1], V[1:-1] - (p[1:] - p[:-1]) / dym, V[-1:]],
+                         0)
+    Wn = jnp.concatenate([W[:1], W[1:-1] - (p - zm(p)) / dz, W[-1:]], 0)
+    Un, Vn, Wn = _apply_bc(Un, Vn, Wn, op1_ref[...], op2_ref[...])
+    Un_ref[...] = Un
+    Vn_ref[...] = Vn
+    Wn_ref[...] = Wn
+
+
+# ---------------------------------------------------------------------------
+# kernel C: boundary pressures (pressure RHS + 4-row spectral synthesis)
+# ---------------------------------------------------------------------------
+
+def _boundary_kernel(n, F, Nz, C, nu, dx, dz,
+                     U_ref, V_ref, W_ref, dPdx_ref,
+                     dyf_ref, dyg_ref, dym_ref,
+                     TR_ref, TI_ref, Ti4R_ref, Ti4I_ref,
+                     A4_ref, B_ref, denom_ref,
+                     Pinv00_ref, s00_ref,
+                     p_ref):
+    """p_ref (2, C): rows = (p1, p2) = -0.5*(P rows 0+1), -0.5*(rows
+    n-1 + n-2) — channel_flow.boundary_pressures' fast path with the
+    4-row eigenvector slice baked into A4/Ti4."""
+    sh = _shifts(Nz, C)
+    dyf = dyf_ref[...]
+    Fu, Fv, Fw = _rhs_terms(U_ref[...], V_ref[...], W_ref[...],
+                            dPdx_ref[0, 0], nu, dx, dz,
+                            dyf, dyg_ref[...], dym_ref[...], sh)
+    xm, xp, zm, zp = sh
+    rhs = ((xp(Fu[1:-1]) - Fu[1:-1]) / dx + (Fv[1:] - Fv[:-1]) / dyf
+           + (zp(Fw[1:-1]) - Fw[1:-1]) / dz)                 # (n, C)
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, precision=_HP,
+                           preferred_element_type=jnp.float32)
+
+    t_re = dot(rhs, TR_ref[...])                             # (n, F)
+    t_im = dot(rhs, TI_ref[...])
+    y_re = dot(B_ref[...], t_re) / denom_ref[...]
+    y_im = dot(B_ref[...], t_im) / denom_ref[...]
+    P4_re = dot(A4_ref[...], y_re)                           # (4, F)
+    P4_im = dot(A4_ref[...], y_im)
+    # regularized (0,0) mode on the 4 boundary rows (column 0, real);
+    # the row gather is done with slices (Mosaic-safe): rows [0,1] and
+    # [n-2, n-1] of the full (n, 1) solve
+    s00 = s00_ref[...]                                       # (n, 1)
+    full00 = s00 * dot(Pinv00_ref[...], s00 * t_re[:, 0:1])  # (n, 1)
+    p00_4 = jnp.concatenate([full00[0:2], full00[n - 2:n]], axis=0)  # (4,1)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1) == 0
+    mask0 = jnp.where(col0, 1.0, 0.0)
+    P4_re = P4_re * (1.0 - mask0) + p00_4 * mask0
+    P4_im = P4_im * (1.0 - mask0)
+    P4 = dot(P4_re, Ti4R_ref[...]) - dot(P4_im, Ti4I_ref[...])  # (4, C)
+    p1 = -0.5 * (P4[0:1] + P4[1:2])
+    p2 = -0.5 * (P4[3:4] + P4[2:3])
+    p_ref[...] = jnp.concatenate([p1, p2], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _row_consts(grid):
+    """(rows, 1) f32 y-metric columns used by every kernel."""
+    f32 = jnp.float32
+    y = grid.y.astype(f32)
+    ym = grid.ym.astype(f32)
+    yg = grid.yg.astype(f32)
+    dyf = (y[1:] - y[:-1]).reshape(-1, 1)      # (Ny-1, 1)
+    dyg = (yg[1:] - yg[:-1]).reshape(-1, 1)    # (Ny,   1)
+    dym = (ym[1:] - ym[:-1]).reshape(-1, 1)    # (Ny-2, 1)
+    return dyf, dyg, dym
+
+
+def _solve_consts(grid):
+    f32 = jnp.float32
+    Nzr = grid.Nz // 2 + 1
+    F = grid.Nx * Nzr
+    n = grid.Ny - 1
+    kxx = grid.kxx.astype(f32)
+    kzz = grid.kzz.astype(f32)[:Nzr]
+    kk = (kxx[:, None] + kzz[None, :]).reshape(1, F)
+    denom = grid.eig_lam.astype(f32)[:, None] + kk
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    dl = jnp.concatenate([jnp.zeros((1,), f32),
+                          grid.DD_lower.astype(f32)]).reshape(n, 1)
+    du = jnp.concatenate([grid.DD_upper.astype(f32),
+                          jnp.zeros((1,), f32)]).reshape(n, 1)
+    dd0h = (0.5 * grid.DD_diag[:1].astype(f32)).reshape(1, 1)
+    return kk, denom, dl, du, dd0h
+
+
+_RK3_STAGES = ((8 / 15, 0.0), (5 / 12, 1 / 4), (3 / 4, 1 / 4))
+# (c_cur, c_prev-on-F1): channel_flow.rk3_step's coefficient triples
+# [8/15], [1/4, 5/12], [1/4, 0, 3/4] collapse to (current, F1) pairs.
+
+
+def _substage_call(grid, U, V, W, U0, V0, W0, F1, op1, op2, dPdx,
+                   c_cur, c_prev, out_f, interpret=False):
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    C = Nx * Nz
+    f32 = jnp.float32
+    dyf, dyg, dym = _row_consts(grid)
+    kernel = partial(_substage_kernel, Nz, C, grid.nu, grid.dx, grid.dz,
+                     c_cur, c_prev, out_f)
+    shp = lambda r: jax.ShapeDtypeStruct((r, C), f32)
+    out_shape = (shp(Ny + 1), shp(Ny), shp(Ny + 1), shp(Ny - 1),
+                 shp(Ny + 1), shp(Ny), shp(Ny + 1))
+    F1u, F1v, F1w = F1
+    return pl.pallas_call(kernel, out_shape=out_shape,
+                          interpret=interpret)(
+        U, V, W, U0, V0, W0, F1u, F1v, F1w, op1, op2,
+        jnp.reshape(dPdx.astype(f32), (1, 1)),
+        jnp.full((1, 1), grid.dt, f32), dyf, dyg, dym)
+
+
+def _solve_correct_call(grid, div, U, V, W, op1, op2, interpret=False):
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    C = Nx * Nz
+    n = Ny - 1
+    Nzr = Nz // 2 + 1
+    F = Nx * Nzr
+    f32 = jnp.float32
+    TR, TI, TiR, TiI = _kron_mats(Nx, Nz)
+    kk, denom, dl, du, dd0h = _solve_consts(grid)
+    _, _, dym = _row_consts(grid)
+    kernel = partial(_solve_correct_kernel, n, F, Nz, C, grid.dx, grid.dz,
+                     grid.refine_steps)
+    shp = lambda r: jax.ShapeDtypeStruct((r, C), f32)
+    return pl.pallas_call(kernel, out_shape=(shp(Ny + 1), shp(Ny),
+                                             shp(Ny + 1)),
+                          interpret=interpret)(
+        div, U, V, W, op1, op2,
+        jnp.asarray(TR), jnp.asarray(TI), jnp.asarray(TiR),
+        jnp.asarray(TiI), grid.eig_A.astype(f32), grid.eig_B.astype(f32),
+        denom, kk, grid.Pinv00_eq.astype(f32),
+        grid.s00.astype(f32).reshape(n, 1),
+        grid.DD_diag.astype(f32).reshape(n, 1), dl, du, dd0h, dym)
+
+
+def rk3_step_k(grid, U, V, W, dPdx, meanU0, op1, op2, interpret=False):
+    """Full RK3 step on kernel-layout state.  op1/op2: (1, C) actuation
+    rows.  Returns (U, V, W, dPdx')."""
+    U0, V0, W0 = U, V, W
+    zero = jnp.zeros_like(U)
+    F1 = (zero, jnp.zeros_like(V), jnp.zeros_like(W))
+    for i, (c_cur, c_prev) in enumerate(_RK3_STAGES):
+        Un, Vn, Wn, div, Fu, Fv, Fw = _substage_call(
+            grid, U, V, W, U0, V0, W0, F1, op1, op2, dPdx,
+            c_cur, c_prev, out_f=(i == 0), interpret=interpret)
+        if i == 0:
+            F1 = (Fu, Fv, Fw)
+        U, V, W = _solve_correct_call(grid, div, Un, Vn, Wn, op1, op2,
+                                      interpret=interpret)
+
+    # mass-flow correction (channel_flow.rk3_step:590-594): row means +
+    # trapezoid — scalar XLA work on the kernel layout
+    profile = jnp.mean(U[1:-1], axis=1)
+    zero1 = jnp.zeros((1,), U.dtype)
+    vals = jnp.concatenate([zero1, profile, zero1])
+    ys = jnp.concatenate([zero1, grid.ym.astype(U.dtype),
+                          jnp.full((1,), 2.0, U.dtype)])
+    meanU_now = jnp.trapezoid(vals, ys) / 2.0
+    d_new = 2.0 * (meanU0 - meanU_now)
+    U = U.at[1:-1].add(d_new / 2.0)
+    dPdx_out = 0.5 * (dPdx + d_new / grid.dt)
+    return U, V, W, dPdx_out
+
+
+def boundary_pressures_k(grid, U, V, W, dPdx, interpret=False):
+    """(p1, p2) rows (each (1, C)) from kernel-layout state."""
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    C = Nx * Nz
+    n = Ny - 1
+    Nzr = Nz // 2 + 1
+    F = Nx * Nzr
+    f32 = jnp.float32
+    TR, TI, TiR, TiI = _kron_mats(Nx, Nz)
+    kk, denom, _, _, _ = _solve_consts(grid)
+    dyf, dyg, dym = _row_consts(grid)
+    rows = np.asarray([0, 1, n - 2, n - 1])
+    A4 = grid.eig_A[rows].astype(f32)
+    kernel = partial(_boundary_kernel, n, F, Nz, C, grid.nu, grid.dx,
+                     grid.dz)
+    p = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((2, C), f32),
+        interpret=interpret)(
+        U, V, W, jnp.reshape(dPdx.astype(f32), (1, 1)),
+        dyf, dyg, dym,
+        jnp.asarray(TR), jnp.asarray(TI), jnp.asarray(TiR),
+        jnp.asarray(TiI), A4, grid.eig_B.astype(f32), denom,
+        grid.Pinv00_eq.astype(f32), grid.s00.astype(f32).reshape(n, 1))
+    return p[0:1], p[1:2]
+
+
+# ---------------------------------------------------------------------------
+# ChannelState-level entry points (with layout conversion + XLA-path VJPs)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def rk3_step_fused(grid, state, opV1, opV2):
+    """Drop-in fused `channel_flow.rk3_step` (TPU, f32, unbatched).
+
+    Numerics match the XLA path to f32 roundoff (see
+    tests/test_rk3_fused.py); gradients delegate to the XLA
+    implementation."""
+    return _rk3_step_fused_impl(grid, state, opV1, opV2)
+
+
+def _rk3_step_fused_impl(grid, state, opV1, opV2, interpret=False):
+    C = grid.Nx * grid.Nz
+    f32 = jnp.float32
+    U, V, W = state_to_k(state)
+    op1 = jnp.reshape(opV1.astype(f32), (1, C))
+    op2 = jnp.reshape(opV2.astype(f32), (1, C))
+    U, V, W, dPdx = rk3_step_k(grid, U.astype(f32), V.astype(f32),
+                               W.astype(f32), state.dPdx, state.meanU0,
+                               op1, op2, interpret=interpret)
+    return state.replace(U=from_k(U, grid.Nx, grid.Nz),
+                         V=from_k(V, grid.Nx, grid.Nz),
+                         W=from_k(W, grid.Nx, grid.Nz),
+                         dPdx=dPdx)
+
+
+def _rk3_fwd(grid, state, opV1, opV2):
+    return _rk3_step_fused_impl(grid, state, opV1, opV2), \
+        (grid, state, opV1, opV2)
+
+
+def _rk3_bwd(res, g):
+    from . import channel_flow as cf
+    grid, state, opV1, opV2 = res
+    _, vjp = jax.vjp(
+        lambda s, o1, o2: cf._rk3_step_unfused(grid, s, o1, o2),
+        state, opV1, opV2)
+    ds, d1, d2 = vjp(g)
+    zero_grid = jax.tree.map(jnp.zeros_like, grid)
+    return zero_grid, ds, d1, d2
+
+
+rk3_step_fused.defvjp(_rk3_fwd, _rk3_bwd)
+
+
+@jax.custom_vjp
+def boundary_pressures_fused(grid, state):
+    """Drop-in fused `channel_flow.boundary_pressures` (TPU, f32,
+    unbatched)."""
+    return _boundary_fused_impl(grid, state)
+
+
+def _boundary_fused_impl(grid, state, interpret=False):
+    f32 = jnp.float32
+    U, V, W = state_to_k(state)
+    p1, p2 = boundary_pressures_k(grid, U.astype(f32), V.astype(f32),
+                                  W.astype(f32), state.dPdx,
+                                  interpret=interpret)
+    return (p1.reshape(grid.Nx, grid.Nz), p2.reshape(grid.Nx, grid.Nz))
+
+
+def _bp_fwd(grid, state):
+    return _boundary_fused_impl(grid, state), (grid, state)
+
+
+def _bp_bwd(res, g):
+    from . import channel_flow as cf
+    grid, state = res
+    _, vjp = jax.vjp(
+        lambda s: cf._boundary_pressures_unfused(grid, s), state)
+    (ds,) = vjp(g)
+    zero_grid = jax.tree.map(jnp.zeros_like, grid)
+    return zero_grid, ds
+
+
+boundary_pressures_fused.defvjp(_bp_fwd, _bp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# kernel-layout scan support: metrics + env step with NO layout flips
+# (the bench regression without this: per-step transposes around the
+# kernels collapse the closed loop to ~240 steps/s — the same failure
+# mode as round 2's piecewise fusion)
+# ---------------------------------------------------------------------------
+
+def _xla_shifts(Nz, C):
+    """XLA (non-pallas) lane shifts on (rows, C) arrays for the cheap
+    once-per-step metric math."""
+    col = (jnp.arange(C) % Nz)[None, :]
+
+    def xp(a):
+        return jnp.roll(a, -Nz, axis=1)
+
+    def xm(a):
+        return jnp.roll(a, Nz, axis=1)
+
+    def zp(a):
+        return jnp.where(col == Nz - 1, jnp.roll(a, Nz - 1, axis=1),
+                         jnp.roll(a, -1, axis=1))
+
+    def zm(a):
+        return jnp.where(col == 0, jnp.roll(a, 1 - Nz, axis=1),
+                         jnp.roll(a, 1, axis=1))
+
+    return xm, xp, zm, zp
+
+
+def divergence_k(grid, U, V, W):
+    """channel_flow.divergence on kernel-layout fields (XLA)."""
+    C = grid.Nx * grid.Nz
+    xm, xp, zm, zp = _xla_shifts(grid.Nz, C)
+    dyf, _, _ = _row_consts(grid)
+    Ui = U[1:-1]
+    Wi = W[1:-1]
+    return ((xp(Ui) - Ui) / grid.dx + (V[1:] - V[:-1]) / dyf.astype(U.dtype)
+            + (zp(Wi) - Wi) / grid.dz)
+
+
+def mean_u_k(grid, U):
+    """channel_flow.calculate_mean_u on a kernel-layout U."""
+    profile = jnp.mean(U[1:-1], axis=1)
+    zero1 = jnp.zeros((1,), U.dtype)
+    vals = jnp.concatenate([zero1, profile, zero1])
+    ys = jnp.concatenate([zero1, grid.ym.astype(U.dtype),
+                          jnp.full((1,), 2.0, U.dtype)])
+    return jnp.trapezoid(vals, ys) / 2.0
+
+
+def step_metrics_k(grid, state, p2):
+    """channel_flow.step_metrics with kernel-layout state leaves; p2 is
+    (Nx, Nz) as observed by the policies."""
+    from . import channel_flow as cf
+    U, V, W = state.U, state.V, state.W
+    dudy = (U[-1] - U[-2]) / (grid.y[-1] - grid.y[-2])
+    shear = jnp.abs(jnp.mean(-U[-1] * V[-1] + grid.nu * dudy))
+    div = divergence_k(grid, U, V, W)
+    return {
+        "drag_reduction/1_shear_stress": shear,
+        "drag_reduction/2_1_mass_flow": mean_u_k(grid, U),
+        "drag_reduction/2_2_v_velocity": jnp.mean(jnp.abs(V)),
+        "drag_reduction/2_3_w_velocity": jnp.mean(jnp.abs(W)),
+        "drag_reduction/3_1_pressure_mean": jnp.mean(p2),
+        "drag_reduction/3_2_dPdx_finite_difference":
+            cf.dpdx_finite_difference(grid, p2),
+        "drag_reduction/3_3_dPdx_reverse_cal": state.dPdx,
+        "drag_reduction/4_1_-|divergence|":
+            jnp.maximum(-jnp.abs(jnp.sum(div)), -100.0),
+        "drag_reduction/4_4_speed_norm":
+            jnp.linalg.norm(U) + jnp.linalg.norm(V) + jnp.linalg.norm(W),
+    }
+
+
+def state_to_kstate(state):
+    """ChannelState (x,y,z) -> ChannelState with kernel-layout (rows=y,
+    cols=x*Nz+z) 2-D leaves.  `channel_flow.gt_control` and the policy
+    zoo handle both layouts; only use inside the fused scan paths."""
+    U, V, W = state_to_k(state)
+    f32 = jnp.float32
+    return state.replace(U=U.astype(f32), V=V.astype(f32),
+                         W=W.astype(f32),
+                         dPdx=state.dPdx.astype(f32),
+                         meanU0=state.meanU0.astype(f32))
+
+
+def kstate_to_state(grid, kstate, dtype=None):
+    dtype = dtype or kstate.U.dtype
+    return kstate.replace(
+        U=from_k(kstate.U, grid.Nx, grid.Nz).astype(dtype),
+        V=from_k(kstate.V, grid.Nx, grid.Nz).astype(dtype),
+        W=from_k(kstate.W, grid.Nx, grid.Nz).astype(dtype))
+
+
+def env_step_k(grid, kstate, opV1, opV2):
+    """Fused env step on a kernel-layout ChannelState: advance + boundary
+    pressures + scoreboard (channel_flow.env_step equivalent).  opV1/opV2
+    arrive (Nx, Nz) from the policies."""
+    C = grid.Nx * grid.Nz
+    f32 = jnp.float32
+    op1 = jnp.reshape(opV1.astype(f32), (1, C))
+    op2 = jnp.reshape(opV2.astype(f32), (1, C))
+    U, V, W, dPdx = rk3_step_k(grid, kstate.U, kstate.V, kstate.W,
+                               kstate.dPdx, kstate.meanU0, op1, op2)
+    kstate = kstate.replace(U=U, V=V, W=W, dPdx=dPdx)
+    p1, p2 = boundary_pressures_k(grid, U, V, W, dPdx)
+    p2 = p2.reshape(grid.Nx, grid.Nz)
+    info = step_metrics_k(grid, kstate, p2)
+    return kstate, p2, info

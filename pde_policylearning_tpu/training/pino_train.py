@@ -28,7 +28,8 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
              f_weight: float = 1.0, t_interval: float = 1.0,
              params=None, rng=None, log_interval: int = 200,
              eval_data=None, compute_dtype=None, accum_steps: int = 1,
-             checkpoint_fn=None, verbose: bool = True):
+             checkpoint_fn=None, opt_state=None, start_iter: int = 0,
+             verbose: bool = True):
     """Kolmogorov-flow PINO pretrain/finetune (train_pino.py:41-130).
 
     data: (u, a, re) arrays — u (N,S,S,T), a (N,S,S,T,4), re (N,).
@@ -59,7 +60,15 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
     if params is None:
         rng, init_rng = jax.random.split(rng)
         params = jax.jit(model.init)(init_rng, a[:1], re[:1])["params"]
-    opt_state = opt.init(params)
+    if opt_state is None:
+        opt_state = opt.init(params)
+    else:
+        # crash-resume: restore Adam moments + schedule step saved by
+        # checkpoint_fn so a resumed multi-hour pretrain continues the
+        # same trajectory (start_iter skips the completed work)
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(opt.init(params)),
+            jax.tree.leaves(opt_state))
 
     def loss_fn(p, ab, ub, reb):
         if compute_dtype is not None:
@@ -116,7 +125,7 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
         return params, opt_state, metrics
 
     history = {"total": [], "data": [], "ic": [], "f": []}
-    done = 0
+    done = start_iter
     while done < iterations:
         k = min(log_interval, iterations - done)
         rng, sub = jax.random.split(rng)

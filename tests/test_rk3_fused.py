@@ -1,0 +1,133 @@
+"""Parity of the fused (y, x*z)-layout RK3/boundary kernels vs the XLA
+path (envs/rk3_pallas.py, interpret mode on CPU; the real-chip drive is
+part of the verify protocol)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_policylearning_tpu.envs import channel_flow as cf
+from pde_policylearning_tpu.envs import rk3_pallas as rk
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = cf.make_channel_grid(Nx=8, Ny=33, Nz=8, dtype=jnp.float32,
+                                refine_steps=1)
+    key = jax.random.PRNGKey(0)
+    st = cf.init_state(grid, key=key, noise=0.05)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    op1 = 0.01 * jax.random.normal(k1, (grid.Nx, grid.Nz), jnp.float32)
+    op2 = 0.01 * jax.random.normal(k2, (grid.Nx, grid.Nz), jnp.float32)
+    # zero-net-flux actuation as the control policies produce
+    op1 = op1 - op1.mean()
+    op2 = op2 - op2.mean()
+    return grid, st, op1, op2
+
+
+def rel(a, b):
+    return float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-30))
+
+
+def test_layout_roundtrip(setup):
+    grid, st, _, _ = setup
+    U = st.U
+    np.testing.assert_array_equal(
+        np.asarray(rk.from_k(rk.to_k(U), grid.Nx, grid.Nz)), np.asarray(U))
+
+
+def test_rk3_step_fused_matches_xla(setup):
+    grid, st, op1, op2 = setup
+    ref = cf._rk3_step_unfused(grid, st, op1, op2)
+    out = rk._rk3_step_fused_impl(grid, st, op1, op2, interpret=True)
+    assert rel(out.U, ref.U) < 2e-6
+    assert rel(out.V, ref.V) < 2e-5   # V is small (actuation-scale)
+    assert rel(out.W, ref.W) < 2e-5
+    np.testing.assert_allclose(float(out.dPdx), float(ref.dPdx), rtol=1e-4)
+
+
+def test_rk3_step_fused_multi_step(setup):
+    """Error stays at roundoff level over several steps (no systematic
+    drift from the shift/stencil rewrites)."""
+    grid, st, op1, op2 = setup
+    ref = st
+    out = st
+    for _ in range(3):
+        ref = cf._rk3_step_unfused(grid, ref, op1, op2)
+        out = rk._rk3_step_fused_impl(grid, out, op1, op2, interpret=True)
+    assert rel(out.U, ref.U) < 1e-5
+    assert bool(jnp.isfinite(out.U).all())
+
+
+def test_boundary_pressures_fused_matches_xla(setup):
+    grid, st, op1, op2 = setup
+    st2 = cf._rk3_step_unfused(grid, st, op1, op2)
+    p1_ref, p2_ref = cf._boundary_pressures_unfused(grid, st2)
+    p1, p2 = rk._boundary_fused_impl(grid, st2, interpret=True)
+    assert rel(p1, p1_ref) < 2e-5
+    assert rel(p2, p2_ref) < 2e-5
+
+
+def test_rk3_fused_grad_delegates(setup):
+    """The fused step's VJP delegates to the XLA path: drive the backward
+    rule directly (the pallas forward can't lower on CPU) and compare
+    against jax.grad of the XLA step."""
+    grid, st, op1, op2 = setup
+
+    def loss_ref(o1):
+        out = cf._rk3_step_unfused(grid, st, o1, op2)
+        return jnp.sum(out.V[:, 1, :] ** 2)
+
+    g_ref = jax.grad(loss_ref)(op1)
+    out_ref = cf._rk3_step_unfused(grid, st, op1, op2)
+    cot = jax.tree.map(jnp.zeros_like, out_ref)
+    cot = cot.replace(V=cot.V.at[:, 1, :].set(2.0 * out_ref.V[:, 1, :]))
+    _, _, d1, _ = rk._rk3_bwd((grid, st, op1, op2), cot)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_env_step_k_matches_env_step(setup, monkeypatch):
+    """Kernel-layout env step (fused scan body) == XLA env_step:
+    state, p2, and every scoreboard metric."""
+    grid, st, op1, op2 = setup
+    from pde_policylearning_tpu.envs.rk3_pallas import (
+        env_step_k, kstate_to_state, state_to_kstate, _substage_call,
+        _solve_correct_call, boundary_pressures_k)
+    import pde_policylearning_tpu.envs.rk3_pallas as rkm
+
+    # run the pallas calls in interpret mode on CPU
+    monkeypatch.setattr(rkm, "_substage_call",
+                        partial_interpret(rkm._substage_call))
+    monkeypatch.setattr(rkm, "_solve_correct_call",
+                        partial_interpret(rkm._solve_correct_call))
+    monkeypatch.setattr(rkm, "boundary_pressures_k",
+                        partial_interpret(rkm.boundary_pressures_k))
+
+    st_ref = cf._rk3_step_unfused(grid, st, op1, op2)
+    _, p2_ref = cf._boundary_pressures_unfused(grid, st_ref)
+    info_ref = cf.step_metrics(grid, st_ref, p2_ref)
+
+    kst, p2, info = rkm.env_step_k(grid, state_to_kstate(st), op1, op2)
+    out = kstate_to_state(grid, kst)
+    assert rel(out.U, st_ref.U) < 2e-6
+    assert rel(p2, p2_ref) < 2e-5
+    for k in info_ref:
+        # the divergence reward is -|sum(div)| of a projected (div~0)
+        # field: pure summed roundoff, so only an absolute bound is
+        # meaningful (a real divergence failure is O(1))
+        atol = 1e-4 if "divergence" in k else 1e-6
+        np.testing.assert_allclose(
+            float(info[k]), float(info_ref[k]), rtol=5e-3, atol=atol,
+            err_msg=k)
+
+
+def partial_interpret(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kw):
+        kw["interpret"] = True
+        return fn(*args, **kw)
+
+    return wrapped
