@@ -64,6 +64,7 @@ class Trainer:
                  patcher=None,
                  mesh=None,
                  compute_dtype: Optional[Any] = None,
+                 max_chunk_steps: int = 4000,
                  verbose: bool = True):
         self.model = model
         self.n_epochs = n_epochs
@@ -92,6 +93,13 @@ class Trainer:
         # the loss is evaluated in f32.  Grads flow back f32 through the
         # linear casts.
         self.compute_dtype = compute_dtype
+        # Executable-size guard: one run_chunk executable contains
+        # epochs_per_chunk * (train + eval) batch steps; at the full
+        # transformer budget (500 epochs x 375 steps) a 50-epoch chunk
+        # crashed the remote TPU worker outright (NOTES_r2).  Chunks are
+        # capped to ~this many batch steps, trading a few extra host
+        # round-trips for a bounded executable.
+        self.max_chunk_steps = max_chunk_steps
         self.verbose = verbose
 
     def _apply(self, params, x):
@@ -207,8 +215,10 @@ class Trainer:
 
         # NOTE: the dataset arrays are jit *arguments*, not closure
         # constants — closures bake the data into the executable (huge
-        # compile payloads, one recompile per dataset)
-        @jax.jit
+        # compile payloads, one recompile per dataset).  The carry is
+        # donated: it holds 2x params + opt state + best params, and
+        # without donation the chunk peaks at twice that.
+        @partial(jax.jit, donate_argnums=(0,))
         def run_chunk(carry, keys, x_train, y_train, x_test, y_test):
             def epoch_body(carry, key):
                 params, opt_state, best_params, best_loss = carry
@@ -225,12 +235,17 @@ class Trainer:
 
             return jax.lax.scan(epoch_body, carry, keys)
 
-        carry = (params, opt_state, params,
+        # best_params must not alias params: the donated carry would
+        # otherwise contain the same buffer twice (donation error).
+        carry = (params, opt_state, jax.tree.map(jnp.copy, params),
                  jnp.asarray(jnp.inf, jnp.float32))
         history = {"train_loss": [], "test_loss": [], "epoch_time": []}
         done = 0
+        epochs_per_chunk = max(
+            1, min(self.log_interval,
+                   self.max_chunk_steps // (steps_per_epoch + test_steps)))
         while done < self.n_epochs:
-            n = min(self.log_interval, self.n_epochs - done)
+            n = min(epochs_per_chunk, self.n_epochs - done)
             rng, sub = jax.random.split(rng)
             keys = jax.random.split(sub, n)
             t0 = time.perf_counter()
