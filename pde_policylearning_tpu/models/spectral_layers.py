@@ -74,17 +74,20 @@ class SpectralConv(nn.Module):
                       *self.half_total_n_modes)
 
         n_total = self.n_corners * self.n_layers
+        n_lead = len(wshape) - self.order  # 1 separable, 2 regular
         if self.joint_factorization:
             self.weight = self.param(
                 "weight",
                 lambda key: factorized.init_factorized(
-                    key, (n_total, *wshape), fact, rank=self.rank, std=std))
+                    key, (n_total, *wshape), fact, rank=self.rank, std=std,
+                    n_lead=n_lead + 1))
         else:
             self.weights = [
                 self.param(
                     f"w{i}",
                     lambda key: factorized.init_factorized(
-                        key, wshape, fact, rank=self.rank, std=std))
+                        key, wshape, fact, rank=self.rank, std=std,
+                        n_lead=n_lead))
                 for i in range(n_total)
             ]
         if self.use_bias:

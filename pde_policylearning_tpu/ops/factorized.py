@@ -94,15 +94,29 @@ def tt_rank(shape: Sequence[int], rank) -> tuple[int, ...]:
 # ---------------------------------------------------------------------------
 
 def init_factorized(key, shape: Sequence[int], factorization: str = "dense",
-                    rank=0.5, std: float = 0.02, dtype=jnp.float32) -> dict:
+                    rank=0.5, std: float = 0.02, dtype=jnp.float32,
+                    n_lead: int = 2) -> dict:
     """Create the parameter pytree for a factorized complex tensor.
 
-    `shape` is the *dense* complex shape, e.g. (in_ch, out_ch, m1, m2).
+    `shape` is the *dense* complex shape, e.g. (in_ch, out_ch, m1, m2), with
+    `n_lead` leading non-mode (channel/layer) axes followed by mode axes.
     Returns a dict with a `kind` marker key-structure:
-      dense : {'tensor': (2, *shape)}
+      dense : {'mmK': (2, modes..., lead...)}  (K = n_lead; see below)
       tucker: {'core': (2, *ranks), 'factors': [(2, s_i, r_i), ...]}
       cp    : {'lambda': (2, R), 'factors': [(2, s_i, R), ...]}
       tt    : {'factors': [(2, r_i, s_i, r_{i+1}), ...]}
+
+    Dense weights are stored **mode-major** — `(2, m1..mN, lead...)` under
+    key ``f"mm{n_lead}"`` — NOT in the logical `(2, lead..., m1..mN)` order
+    (which remains the `to_dense` output convention).  Rationale (TPU): the
+    default HLO layout tiles the two minor-most axes to (8, 128); with small
+    trailing mode axes (e.g. 8x8) every stored copy of the leaf — Adam
+    moments, grads, remat copies — pads 16x (the PINO pretrain at the
+    reference budget overflowed a 16 GB chip on padding alone).  Trailing
+    (in_ch, out_ch) axes pad ~2x at typical widths, and match the
+    mode-batched matmul layout the channel contraction wants anyway.
+    Legacy `{'tensor': (2, *shape)}` leaves (old checkpoints, transplanted
+    reference weights) are still understood by every consumer.
     """
     shape = tuple(int(s) for s in shape)
     factorization = (factorization or "dense").lower()
@@ -110,7 +124,12 @@ def init_factorized(key, shape: Sequence[int], factorization: str = "dense",
         factorization = factorization[len("complex"):]
     order = len(shape)
     if factorization == "dense":
-        return {"tensor": _normal_pair(key, shape, std, dtype)}
+        n_lead = max(0, min(int(n_lead), order))
+        pair = _normal_pair(key, shape, std, dtype)
+        if n_lead in (0, order):
+            return {"tensor": pair}
+        perm = (0, *range(1 + n_lead, 1 + order), *range(1, 1 + n_lead))
+        return {f"mm{n_lead}": jnp.transpose(pair, perm)}
     if factorization == "tucker":
         ranks = tucker_rank(shape, rank)
         keys = jax.random.split(key, order + 1)
@@ -155,7 +174,13 @@ def take_layer(params: dict, index: int) -> dict:
     keep the rest shared; tt: slice the first factor's middle axis."""
     kind = factorization_of(params)
     if kind == "dense":
-        return {"tensor": params["tensor"][:, index]}
+        if "tensor" in params:
+            return {"tensor": params["tensor"][:, index]}
+        key, lead = _dense_mm_key(params)
+        # stored (2, modes..., L, lead-1...): the layer axis is the first
+        # of the trailing lead axes
+        t = jnp.take(params[key], index, axis=params[key].ndim - lead)
+        return {f"mm{lead - 1}": t}
     if kind == "tucker":
         f0 = params["factors"][0]
         # contract the selected row of the first factor into the core
@@ -176,8 +201,16 @@ def take_layer(params: dict, index: int) -> dict:
             + list(params["factors"][2:])}
 
 
+def _dense_mm_key(params: dict):
+    """(key, n_lead) of a mode-major dense leaf, or (None, None)."""
+    for k in params:
+        if k.startswith("mm"):
+            return k, int(k[2:])
+    return None, None
+
+
 def factorization_of(params: dict) -> str:
-    if "tensor" in params:
+    if "tensor" in params or _dense_mm_key(params)[0] is not None:
         return "dense"
     if "core" in params:
         return "tucker"
@@ -187,10 +220,18 @@ def factorization_of(params: dict) -> str:
 
 
 def to_dense(params: dict) -> jnp.ndarray:
-    """Materialize the full complex tensor from its factors."""
+    """Materialize the full complex tensor from its factors.
+
+    Output is always in the logical `(lead..., m1..mN)` axis order; the
+    mode-major storage transpose is undone here (it folds into the
+    consuming einsum's dimension numbers — no extra materialization)."""
     kind = factorization_of(params)
     if kind == "dense":
-        return as_complex(params["tensor"])
+        if "tensor" in params:
+            return as_complex(params["tensor"])
+        key, lead = _dense_mm_key(params)
+        w = as_complex(params[key])  # (modes..., lead...)
+        return jnp.moveaxis(w, range(w.ndim - lead, w.ndim), range(lead))
     if kind == "tucker":
         core = as_complex(params["core"])
         factors = [as_complex(f) for f in params["factors"]]

@@ -259,10 +259,15 @@ def slice_weight_modes(params: dict, half_modes: Sequence[int],
     order = len(half_modes)
     kind = factorized.factorization_of(params)
     if kind == "dense":
-        t = params["tensor"]  # (2, I[, O], m1..mN)
-        idx = (slice(None),) * (t.ndim - order) + tuple(
-            slice(None, m) for m in half_modes)
-        return {"tensor": t[idx]}
+        if "tensor" in params:
+            t = params["tensor"]  # (2, I[, O], m1..mN)
+            idx = (slice(None),) * (t.ndim - order) + tuple(
+                slice(None, m) for m in half_modes)
+            return {"tensor": t[idx]}
+        key, _ = factorized._dense_mm_key(params)
+        t = params[key]  # (2, m1..mN, lead...)
+        idx = (slice(None),) + tuple(slice(None, m) for m in half_modes)
+        return {key: t[idx]}
     if kind == "tucker":
         factors = list(params["factors"])
         for k, m in enumerate(half_modes):

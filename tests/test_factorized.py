@@ -68,3 +68,72 @@ def test_grad_flows_through_factors():
     for leaf in jax.tree.leaves(g):
         assert jnp.all(jnp.isfinite(leaf))
         assert float(jnp.sum(jnp.abs(leaf))) > 0
+
+
+def test_dense_storage_is_mode_major():
+    # TPU: trailing (8, 8) mode axes would tile-pad 16x on every stored
+    # copy (Adam moments, grads, remat); storage puts channels last.
+    shape = (16, 12, 8, 8)
+    params = fz.init_factorized(jax.random.PRNGKey(0), shape, "dense")
+    assert "mm2" in params
+    assert params["mm2"].shape == (2, 8, 8, 16, 12)
+    assert fz.to_dense(params).shape == shape
+
+
+def test_legacy_tensor_leaves_still_work():
+    shape = (4, 6, 5, 3)
+    key = jax.random.PRNGKey(7)
+    new = fz.init_factorized(key, shape, "dense", std=0.5)
+    # rebuild the legacy layout from the same values
+    dense = fz.to_dense(new)
+    old = {"tensor": jnp.stack([dense.real, dense.imag])}
+    np.testing.assert_allclose(np.asarray(fz.to_dense(old)),
+                               np.asarray(dense), rtol=1e-6)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 3, 4)) + 0j
+    np.testing.assert_allclose(np.asarray(fz.contract(x, old)),
+                               np.asarray(fz.contract(x, new)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_take_layer_mode_major():
+    shape = (3, 4, 6, 5, 2)  # (L, I, O, m1, m2)
+    params = fz.init_factorized(jax.random.PRNGKey(9), shape, "dense",
+                                n_lead=3)
+    assert "mm3" in params
+    full = fz.to_dense(params)
+    sub = fz.take_layer(params, 1)
+    assert "mm2" in sub
+    np.testing.assert_allclose(np.asarray(fz.to_dense(sub)),
+                               np.asarray(full[1]), rtol=1e-6)
+
+
+def test_slice_weight_modes_mode_major():
+    from pde_policylearning_tpu.ops import fourier
+    shape = (4, 6, 8, 5)
+    params = fz.init_factorized(jax.random.PRNGKey(11), shape, "dense")
+    sliced = fourier.slice_weight_modes(params, (3, 2))
+    np.testing.assert_allclose(
+        np.asarray(fz.to_dense(sliced)),
+        np.asarray(fz.to_dense(params)[:, :, :3, :2]), rtol=1e-6)
+
+
+def test_checkpoint_adapts_legacy_dense_layout(tmp_path):
+    from pde_policylearning_tpu.training import load_msgpack, save_msgpack
+    shape = (4, 6, 5, 3)
+    new = {"layer": {"w0": fz.init_factorized(jax.random.PRNGKey(3), shape,
+                                              "dense", std=0.5)}}
+    dense = fz.to_dense(new["layer"]["w0"])
+    old = {"layer": {"w0": {"tensor": jnp.stack([dense.real, dense.imag])}}}
+    p = str(tmp_path / "legacy.msgpack")
+    save_msgpack(p, old)
+    restored = load_msgpack(p, new)
+    np.testing.assert_allclose(
+        np.asarray(fz.to_dense(restored["layer"]["w0"])),
+        np.asarray(dense), rtol=1e-6)
+    # and the reverse: new-layout file into a legacy-structured target
+    p2 = str(tmp_path / "new.msgpack")
+    save_msgpack(p2, new)
+    restored2 = load_msgpack(p2, old)
+    np.testing.assert_allclose(
+        np.asarray(fz.to_dense(restored2["layer"]["w0"])),
+        np.asarray(dense), rtol=1e-6)

@@ -168,10 +168,18 @@ def rel_l2(a, b):
     return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30))
 
 
+def _mm2(stacked):
+    """(2, I, O, m...) real-stacked -> the mode-major storage dict
+    (ops/factorized.py:init_factorized: {'mm2': (2, m..., I, O)})."""
+    a = np.asarray(stacked)
+    perm = (0, *range(3, a.ndim), 1, 2)
+    return {"mm2": jnp.asarray(a.transpose(perm))}
+
+
 def dense_w(t):
-    """torch complex (I, O, m...) -> flax real-stacked {'tensor': (2, ...)}."""
+    """torch complex (I, O, m...) -> flax real-stacked mode-major dict."""
     c = t2n(t)
-    return {"tensor": jnp.asarray(np.stack([c.real, c.imag], 0))}
+    return _mm2(np.stack([c.real, c.imag], 0))
 
 
 def lin_w(mod):
@@ -205,7 +213,7 @@ def test_rno_spectral_conv2d_parity(ref):
     # torch fourier_weight[i]: (I, O, m1, m2, 2) real-last
     def stack2(t):
         w = t2n(t)
-        return {"tensor": jnp.asarray(np.moveaxis(w, -1, 0))}
+        return _mm2(np.moveaxis(w, -1, 0))
 
     params = {"w0": stack2(tmod.fourier_weight[0]),
               "w1": stack2(tmod.fourier_weight[1])}
@@ -227,10 +235,10 @@ def _fourier_layer_params(tmod):
     """reference FourierLayer2d -> flax FourierLayer2d params."""
     return {
         "spec_conv": {
-            "w0": {"tensor": jnp.asarray(np.moveaxis(
-                t2n(tmod.spec_conv.fourier_weight[0]), -1, 0))},
-            "w1": {"tensor": jnp.asarray(np.moveaxis(
-                t2n(tmod.spec_conv.fourier_weight[1]), -1, 0))},
+            "w0": _mm2(np.moveaxis(
+                t2n(tmod.spec_conv.fourier_weight[0]), -1, 0)),
+            "w1": _mm2(np.moveaxis(
+                t2n(tmod.spec_conv.fourier_weight[1]), -1, 0)),
         },
         "pointwise": conv1x1_w(tmod.norm_conv1d),
     }
@@ -248,10 +256,10 @@ def _spectral_conv_with_fc_params(tmod):
     return {
         "linear": lin_w(tmod.linear),
         "spec_conv": {
-            "w0": {"tensor": jnp.asarray(np.moveaxis(
-                t2n(tmod.spec_conv.fourier_weight[0]), -1, 0))},
-            "w1": {"tensor": jnp.asarray(np.moveaxis(
-                t2n(tmod.spec_conv.fourier_weight[1]), -1, 0))},
+            "w0": _mm2(np.moveaxis(
+                t2n(tmod.spec_conv.fourier_weight[0]), -1, 0)),
+            "w1": _mm2(np.moveaxis(
+                t2n(tmod.spec_conv.fourier_weight[1]), -1, 0)),
         },
     }
 
@@ -412,7 +420,7 @@ def _encoder_layer_params(tmod):
     def proj(sc):
         w = t2n(sc.fourier_weight)  # (I, O, modes, 2)
         return {"linear": lin_w(sc.linear),
-                "w": {"tensor": jnp.asarray(np.moveaxis(w, -1, 0))}}
+                "w": _mm2(np.moveaxis(w, -1, 0))}
 
     def ln(tln):
         return {"scale": jnp.asarray(t2n(tln.weight)),
