@@ -822,14 +822,70 @@ def batched_rollout(grid: ChannelGrid, states: ChannelState, n_steps: int,
                     detect_plane: int = 25, policy: str = "gt",
                     keys: Optional[jnp.ndarray] = None,
                     collect_fields: bool = False):
-    """vmap the closed-loop rollout over a batch of independent environments
-    (leading batch axis on every ChannelState leaf).  Amortizes the
-    many-small-kernels cost of a single 32x130x32 step across envs — the
-    data-collection throughput multiplier the reference's sequential MATLAB
-    loop cannot express."""
+    """Closed-loop rollout over a batch of independent environments
+    (leading batch axis on every ChannelState leaf) — the data-collection
+    throughput multiplier the reference's sequential MATLAB loop cannot
+    express.
+
+    On TPU (f32) the batch is packed into the fused kernels' lane axis —
+    state (rows, B*Nx*Nz), one pallas_call per kernel per substage with
+    grid=(B,) (envs/rk3_pallas.py batched section) — so the whole batch
+    costs 7 kernel dispatches per step instead of B x 7 (the vmapped
+    fallback's regime, which measured 8.1x single-env per-step cost at
+    B=8 in round 2).  Elsewhere (CPU, f64) it vmaps the single-env
+    rollout.  NOTE: the packed path derives its random-policy draws from
+    `keys[0]` only (draws remain independent across envs and steps)."""
     B = states.U.shape[0]
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), B)
+    # packed blocks are (rows, Nx*Nz) column tiles: Mosaic needs the lane
+    # dim divisible by 128 (production grids: 32x32=1024 ok)
+    if _rk3_fused_eligible(states.U[0]) and (grid.Nx * grid.Nz) % 128 == 0:
+        from . import rk3_pallas as rk
+        in_dtype = states.U.dtype
+        C = grid.Nx * grid.Nz
+        kst = rk.batch_states(states)
+
+        def body(carry, k):
+            st = carry
+            if policy == "gt":
+                o1, o2 = gt_control(st, detect_plane)       # (B*C,) each
+                op1, op2 = o1[None], o2[None]
+            elif policy == "rand":
+                k1, k2 = jax.random.split(k)
+                op1 = rand_control(k1, (1, B * C)).astype(st.U.dtype)
+                op2 = rand_control(k2, (1, B * C)).astype(st.U.dtype)
+            else:
+                op1 = jnp.zeros((1, B * C), st.U.dtype)
+                op2 = op1
+            U, V, W, dPdx = rk.rk3_step_kb(grid, B, st.U, st.V, st.W,
+                                           st.dPdx, st.meanU0, op1, op2)
+            st = st.replace(U=U, V=V, W=W, dPdx=dPdx)
+            _, p2 = rk.boundary_pressures_kb(grid, B, U, V, W, dPdx)
+            v_plane = V[V.shape[0] - detect_plane][None]     # (1, B*C)
+            out = (p2, v_plane, dPdx)
+            if collect_fields:
+                out = out + (U, V, W)
+            return st, out
+
+        step_keys = jax.random.split(keys[0], n_steps)
+        kst, outs = jax.lax.scan(body, kst, step_keys, length=n_steps)
+        state_out = rk.unbatch_states(grid, kst, B, in_dtype)
+
+        def planes(a):   # (T, 1, B*C) -> (B, T, Nx, Nz)
+            return jnp.transpose(
+                a.reshape(n_steps, B, grid.Nx, grid.Nz), (1, 0, 2, 3))
+
+        p2s, vps, dps = outs[:3]
+        conv = (planes(p2s), planes(vps), jnp.transpose(dps, (1, 0)))
+        if collect_fields:
+            def fields(a):  # (T, R, B*C) -> (B, T, Nx, R, Nz)
+                R = a.shape[1]
+                return jnp.transpose(
+                    a.reshape(n_steps, R, B, grid.Nx, grid.Nz),
+                    (2, 0, 3, 1, 4)).astype(in_dtype)
+            conv = conv + tuple(fields(a) for a in outs[3:])
+        return state_out, conv
     return jax.vmap(
         lambda s, k: rollout(grid, s, n_steps, detect_plane=detect_plane,
                              policy=policy, key=k,

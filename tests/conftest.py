@@ -30,3 +30,12 @@ jax.config.update("jax_enable_x64", True)
 # CI host (compile-bound suite; ~45% faster with them off).  Numerics are
 # unaffected at test tolerances; TPU verification never uses this.
 jax.config.update("jax_disable_most_optimizations", True)
+
+# Persistent compilation cache: the suite recompiles the same executables
+# every run on this 1-core host; cache hits cut repeat-run wall-clock
+# roughly in half.  Safe to delete the directory at any time.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -131,3 +131,76 @@ def partial_interpret(fn):
         return fn(*args, **kw)
 
     return wrapped
+
+
+def test_batched_kernels_match_per_env(setup):
+    """Packed-batch (grid-over-envs) kernels == per-env unbatched fused
+    kernels, env by env (interpret mode)."""
+    grid, _, op1, op2 = setup
+    B = 3
+    C = grid.Nx * grid.Nz
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    states = cf.init_batched_states(grid, B, jax.random.PRNGKey(7))
+    kst = rk.batch_states(states)
+    ops1 = jnp.stack([op1 * (i + 1) for i in range(B)])    # distinct ops
+    ops2 = jnp.stack([op2 * (i + 1) for i in range(B)])
+    op1p = ops1.reshape(B, C).reshape(1, B * C)
+    op2p = ops2.reshape(B, C).reshape(1, B * C)
+
+    Ub, Vb, Wb, dPb = rk.rk3_step_kb(grid, B, kst.U, kst.V, kst.W,
+                                     kst.dPdx, kst.meanU0, op1p, op2p,
+                                     interpret=True)
+    _, p2b = rk.boundary_pressures_kb(grid, B, Ub, Vb, Wb, dPb,
+                                      interpret=True)
+
+    for b in range(B):
+        st = jax.tree.map(lambda a: a[b], states)
+        ku, kv, kw = rk.state_to_k(st)
+        o1 = ops1[b].reshape(1, C)
+        o2 = ops2[b].reshape(1, C)
+        Us, Vs, Ws, dPs = rk.rk3_step_k(grid, ku, kv, kw, st.dPdx,
+                                        st.meanU0, o1, o2, interpret=True)
+        sl = slice(b * C, (b + 1) * C)
+        assert rel(Ub[:, sl], Us) < 1e-6
+        assert rel(Vb[:, sl], Vs) < 1e-5
+        assert rel(Wb[:, sl], Ws) < 1e-5
+        np.testing.assert_allclose(float(dPb[b]), float(dPs), rtol=1e-5)
+        _, p2s = rk.boundary_pressures_k(grid, Us, Vs, Ws, dPs,
+                                         interpret=True)
+        assert rel(p2b[:, sl], p2s) < 1e-5
+
+
+@pytest.mark.parametrize("policy", ["gt", "rand"])
+def test_batched_rollout_packed_matches_vmap(setup, policy, monkeypatch):
+    """The packed-batch fused rollout == the vmapped XLA rollout (the
+    public batched_rollout contract), via interpret mode + forced fused
+    backend on CPU.  Needs Nx*Nz % 128 == 0 (the packed-path lane-tile
+    eligibility guard)."""
+    grid = cf.make_channel_grid(Nx=16, Ny=33, Nz=8, dtype=jnp.float32,
+                                refine_steps=1)
+    B, T = 2, 3
+    states = cf.init_batched_states(grid, B, jax.random.PRNGKey(3))
+    ref_state, ref_outs = cf.batched_rollout(grid, states, T,
+                                             detect_plane=5, policy=policy)
+    monkeypatch.setattr(rk, "INTERPRET", True)
+    monkeypatch.setattr(cf, "RK3_BACKEND", "fused")
+    # jit cache keys on static args only — call the wrapped fn directly so
+    # the backend monkeypatch is honored
+    out_state, outs = cf.batched_rollout.__wrapped__(
+        grid, states, T, detect_plane=5, policy=policy)
+    # outs: (p2, v_plane, dPdx), each (B, T, ...)
+    for a, b in zip(outs, ref_outs):
+        assert a.shape == b.shape
+        assert bool(jnp.isfinite(a).all())
+    if policy == "gt":  # rand draws differ by design between the paths
+        assert rel(out_state.U, ref_state.U) < 1e-5
+        assert rel(out_state.V, ref_state.V) < 1e-4
+        for a, b in zip(outs[:2], ref_outs[:2]):
+            assert rel(a, b) < 1e-4
+        # outs[2] (the dPdx trace) is deliberately not value-compared
+        # against the XLA path: dPdx = 0.5*(dPdx + 2*(meanU0-meanU_now)/dt)
+        # is a tiny difference of large f32 means scaled by 1/dt, so
+        # reduction-order differences amplify to ~1e-1 on the trace while
+        # the states agree to 1e-5.  Packed-vs-per-env-fused dPdx parity
+        # (same reduction order) is tight: see
+        # test_batched_kernels_match_per_env (rtol 1e-5).
