@@ -44,10 +44,11 @@ def make_optimal_policy_observer(grid, *, observer_model, observer_params,
     stays on device."""
     opt = optax.adam(opt_lr)
     re_arr = jnp.asarray([re], jnp.float32)
+    Nx, Nz = grid.Nx, grid.Nz
 
     def to_field(plane):
-        # (X, Z) -> (1, X, Z, 1, 1) time-slab input
-        return plane[None, :, :, None, None]
+        # (X, Z) or kernel-layout flat (X*Z,) -> (1, X, Z, 1, 1) time slab
+        return plane.reshape(Nx, Nz)[None, :, :, None, None]
 
     def objective(pp, p2_in, opV2_in):
         res = policy_model.apply({"params": pp}, p2_in, re_arr)
@@ -106,17 +107,23 @@ def make_policy(name: str, grid, *, detect_plane: int = 25,
             return jnp.zeros_like(opV2), opV2
         return policy
 
-    if name in ("fno", "rno"):
+    if name in ("fno", "rno", "transformer"):
         assert model is not None and params is not None
 
         def policy(state, p2, key):
             x = p_norm.encode(p2) if p_norm is not None else p2
             if name == "fno":
                 x = x[None, :, :, None]
-            else:  # rno consumes a (B, T, H, W, 1) sequence
+            else:  # rno/transformer consume a (B, T, H, W, 1) sequence
                 x = jnp.broadcast_to(x[None, None, :, :, None],
                                      (1, model_timestep, Nx, Nz, 1))
-            pred = model.apply({"params": params}, x).reshape(Nx, Nz)
+            pred = model.apply({"params": params}, x)
+            if name == "transformer":
+                # SimpleTransformer predicts every timestep
+                # (run_pde_observers.py using_transformer); actuate on the
+                # latest one
+                pred = pred[:, -1]
+            pred = pred.reshape(Nx, Nz)
             v_hat = v_norm.decode(pred) if v_norm is not None else pred
             # opposition control with the *estimated* detect-plane velocity:
             # actuate -v_hat (gt_control applies -V, control_env.py:416-421;

@@ -38,7 +38,8 @@ def run_control(args, observer_model=None, observer_params=None,
 
     policy_name = args.policy_name
     pkw = {}
-    if policy_name in ("fno", "rno") and train_dataset is not None:
+    if policy_name in ("fno", "rno", "transformer") \
+            and train_dataset is not None:
         pkw = {"model": observer_model, "params": observer_params,
                "p_norm": train_dataset.p_norm, "v_norm": train_dataset.v_norm,
                "model_timestep": int(args.get("model_timestep", 1)),
@@ -117,17 +118,37 @@ def main():
         args.policy_name = cli.policy_name
 
     observer_model, observer_params, train_dataset = None, None, None
-    if args.policy_name in ("fno", "rno", "optimal-observer"):
+    if args.policy_name in ("fno", "rno", "transformer",
+                            "optimal-observer"):
         if args.policy_name in ("fno", "optimal-observer"):
             observer_model = models.FNO2dObserver(
                 modes1=args.modes, modes2=args.modes, width=args.width)
+        elif args.policy_name == "transformer":
+            observer_model = models.SimpleTransformer(
+                n_hidden=int(args.get("n_hidden", 96)),
+                n_head=int(args.get("n_head", 2)),
+                attention_type=args.get("attention_type", "fourier"),
+                freq_dim=int(args.get("freq_dim", 48)),
+                fourier_modes=int(args.get("modes", 12)))
         else:
             observer_model = models.RNO2dObserver(
                 modes1=args.modes, modes2=args.modes, width=args.width,
                 layer_num=int(args.get("layer_num", 1)))
         ckpt = args.get("model_checkpoint")
         if ckpt:
-            observer_params = load_msgpack(ckpt)
+            import jax
+            import jax.numpy as jnp
+            Nx = int(args.get("x_range", 32))
+            Nz = int(args.get("y_range", 32))
+            if args.policy_name in ("fno", "optimal-observer"):
+                x0 = jnp.zeros((1, Nx, Nz, 1))
+            else:  # rno / transformer consume sequences
+                x0 = jnp.zeros((1, int(args.get("model_timestep", 2)),
+                                Nx, Nz, 1))
+            # template load so legacy dense-weight layouts are adapted
+            tmpl = jax.jit(observer_model.init)(
+                jax.random.PRNGKey(0), x0)["params"]
+            observer_params = load_msgpack(ckpt, tmpl)
         total = len([f for f in os.listdir(args.DATA_FOLDER)
                      if f.startswith("P_plane")])
         train_dataset = PDEDataset.from_folder(

@@ -1,0 +1,148 @@
+"""Drag-reduction study over the FULL policy zoo (VERDICT r3 item 10).
+
+50k steps from the packaged developed-turbulence IC, tail-mean wall shear
+(last half) vs unmanipulated.  Protocol identical to the round-2 study
+(NOTES_r2 'Drag-reduction study'); this run adds the RNO and transformer
+observer policies and the online-adapted PolicyModel2D
+('optimal-policy-observer', reference run_control.py:162-185).
+
+Resumable: each policy's series is cached as outputs/drag_study/<name>.npz.
+
+Usage:  python scripts/drag_study.py [n_steps]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_policylearning_tpu import models
+from pde_policylearning_tpu.control import (make_optimal_policy_observer,
+                                            make_policy, run_closed_loop)
+from pde_policylearning_tpu.data import PDEDataset
+from pde_policylearning_tpu.envs import NSControlEnv
+from pde_policylearning_tpu.training import load_msgpack
+
+N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+OUT = "outputs/drag_study"
+DATA = "data/planes_channel180_minchan"
+SHEAR = "drag_reduction/1_shear_stress"
+os.makedirs(OUT, exist_ok=True)
+
+
+def dataset():
+    total = len([f for f in os.listdir(DATA) if f.startswith("P_plane")])
+    return PDEDataset.from_folder(DATA, np.arange(min(100, total)))
+
+
+def fresh_env():
+    return NSControlEnv(detect_plane=25, test_plane=124, seed=0)
+
+
+def observer_policy(name, env, ds):
+    Nx, Nz = env.grid.Nx, env.grid.Nz
+    if name == "fno":
+        model = models.FNO2dObserver(modes1=12, modes2=12, width=32)
+        ckpt = "outputs/planes_channel180_minchan_31-FNO-reproduce.msgpack"
+        x0 = jnp.zeros((1, Nx, Nz, 1))
+    elif name == "rno":
+        model = models.RNO2dObserver(modes1=12, modes2=12, width=34,
+                                     layer_num=1)
+        ckpt = "outputs/planes_channel180_minchan_rno-observer.msgpack"
+        x0 = jnp.zeros((1, 2, Nx, Nz, 1))
+    else:
+        model = models.SimpleTransformer(n_hidden=96, n_head=2,
+                                         attention_type="fourier",
+                                         freq_dim=48, fourier_modes=12)
+        ckpt = "outputs/planes_channel180_minchan_6-Transformer-based.msgpack"
+        x0 = jnp.zeros((1, 2, Nx, Nz, 1))
+    # template load: adapts legacy dense-weight layouts (checkpoint.py)
+    tmpl = jax.jit(model.init)(jax.random.PRNGKey(0), x0)["params"]
+    params = load_msgpack(ckpt, tmpl)
+    return make_policy(name, env.grid, detect_plane=25, model=model,
+                       params=params, p_norm=ds.p_norm, v_norm=ds.v_norm,
+                       model_timestep=2, action_scale=0.3, action_clip=0.01)
+
+
+def policy_model_policy(env):
+    """Online-adapted zero-init PolicyModel2D through a full-field PINO
+    observer (trained by run_pde_observers.py main_fullfield if its
+    checkpoint exists; random-init otherwise, recorded as such)."""
+    obs = models.PINObserverFullField(
+        plane_num=3, modes1=(8, 8, 8, 8), modes2=(8, 8, 8, 8),
+        modes3=(1, 1, 1, 1), layers=(16,) * 5, fc_dim=64, in_dim=1)
+    x0 = jnp.zeros((1, env.grid.Nx, env.grid.Nz, 1, 1))
+    re0 = jnp.ones((1,))
+    obs_ckpt = "outputs/planes_channel180_minchan_fullfield-pi.msgpack"
+    tmpl = jax.jit(obs.init)(jax.random.PRNGKey(0), x0, re0)["params"]
+    if os.path.exists(obs_ckpt):
+        obs_params = load_msgpack(obs_ckpt, tmpl)
+        tag = "trained-fullfield"
+    else:
+        obs_params = tmpl
+        tag = "randinit-fullfield"
+    pol = models.PolicyModel2D(modes1=(8, 8, 8, 8), modes2=(8, 8, 8, 8),
+                               modes3=(1, 1, 1, 1), layers=(16,) * 5,
+                               fc_dim=64, in_dim=1)
+    pol_params = pol.init(jax.random.PRNGKey(1), x0, re0)["params"]
+    pol_params = pol.zero_init_params(pol_params)
+    return make_optimal_policy_observer(
+        env.grid, observer_model=obs, observer_params=obs_params,
+        policy_model=pol, policy_params=pol_params, detect_plane=25), tag
+
+
+def run(name):
+    cache = os.path.join(OUT, f"{name}.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return float(np.mean(d["shear"][len(d["shear"]) // 2:]))
+    env = fresh_env()
+    ds = dataset() if name in ("fno", "rno", "transformer") else None
+    tag = name
+    if name in ("unmanipulated", "gt", "rand"):
+        pol = make_policy(name, env.grid, detect_plane=25, rand_scale=1.0)
+    elif name in ("fno", "rno", "transformer"):
+        pol = observer_policy(name, env, ds)
+    elif name == "optimal-policy-observer":
+        pol, tag = policy_model_policy(env)
+    t0 = time.time()
+    res = run_closed_loop(env, pol, n_steps=N_STEPS, log_interval=2000,
+                          detect_plane=25, div_guard=1e9, verbose=False)
+    shear = np.asarray(res["series"][SHEAR])
+    np.savez(cache, shear=shear, tag=tag)
+    tail = float(np.mean(shear[len(shear) // 2:]))
+    print(f"{name:26s} [{tag}] tail-mean shear {tail:.6e} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    return tail
+
+
+def main():
+    names = ["unmanipulated", "gt", "rand", "fno", "rno", "transformer",
+             "optimal-policy-observer"]
+    results = {}
+    for n in names:
+        try:
+            results[n] = run(n)
+        except Exception as e:  # divergence etc.: record and continue
+            print(f"{n}: FAILED — {type(e).__name__}: {e}", flush=True)
+            results[n] = None
+    base = results.get("unmanipulated")
+    print("\n| policy | tail-mean shear | vs unmanipulated |")
+    print("|---|---|---|")
+    for n in names:
+        v = results[n]
+        if v is None:
+            print(f"| {n} | diverged/failed | — |")
+        elif base:
+            print(f"| {n} | {v:.3e} | {100 * (v - base) / base:+.1f}% |")
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
