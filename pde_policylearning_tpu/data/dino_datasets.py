@@ -72,7 +72,8 @@ def generate_navier_stokes_data(key, n_traj: int, size: int, nt: int,
     dt = t_total / ((nt - 1) * substeps)
     frames = ns_vorticity_rollout(w0, forcing, visc, dt,
                                   n_steps=(nt - 1) * substeps,
-                                  record_every=substeps)
+                                  record_every=substeps,
+                                  deriv_scale=2.0 * np.pi)
     traj = jnp.concatenate([w0[..., None], frames], axis=-1)
     return jnp.moveaxis(traj, -1, 1)[..., None]
 

@@ -29,34 +29,51 @@ def gaussian_rf_2d(key, size: int, batch: int = 1, alpha: float = 2.5,
         sigma = tau ** (0.5 * (2 * alpha - 2.0))
     k = jnp.fft.fftfreq(size, d=1.0 / size)
     k2 = k[:, None] ** 2 + k[None, :] ** 2
-    sqrt_eig = (size * math.sqrt(2.0) * sigma
+    # NB the size**2 factor: the eigenvalue scale is size**dim (GaussianRF
+    # dim=2, data_pdes.py:176) so that backward-norm ifft2's 1/size**2
+    # cancels and sample amplitude is resolution-independent.  (A round-2
+    # `size * sqrt(2)` transcription made ICs ~1/size of the intended
+    # amplitude: every KF trajectory collapsed onto the same forced
+    # response and the IC rel-loss denominator ||u0|| was ~0.)
+    sqrt_eig = (size ** 2 * math.sqrt(2.0) * sigma
                 * ((4 * math.pi ** 2 * k2 + tau ** 2) ** (-alpha / 2.0)))
     sqrt_eig = sqrt_eig.at[0, 0].set(0.0)
     kr, ki = jax.random.split(key)
+    # torch.randn(dtype=cfloat) draws each component at variance 1/2 (unit
+    # total complex variance); match it so sample power agrees
     noise = (jax.random.normal(kr, (batch, size, size))
-             + 1j * jax.random.normal(ki, (batch, size, size)))
+             + 1j * jax.random.normal(ki, (batch, size, size))) \
+        * (1.0 / math.sqrt(2.0))
     u = jnp.fft.ifft2(sqrt_eig[None] * noise, axes=(1, 2))
     return jnp.real(u)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "record_every"))
+@partial(jax.jit, static_argnames=("n_steps", "record_every", "deriv_scale"))
 def ns_vorticity_rollout(w0, forcing, visc: float, dt: float,
-                         n_steps: int, record_every: int = 1):
+                         n_steps: int, record_every: int = 1,
+                         deriv_scale: float = 1.0):
     """Pseudo-spectral 2-D NS in vorticity form, Crank-Nicolson diffusion +
-    explicit (Heun-like) nonlinear term (data_pdes.py:211-290 semantics).
+    explicit nonlinear term (data_pdes.py:211-290 semantics).
+
+    deriv_scale fixes the domain convention CONSISTENTLY for advection and
+    diffusion: d/dx = (deriv_scale * i k), Laplacian = -(deriv_scale k)^2.
+    1.0 -> [0, 2pi)^2 (the Kolmogorov-flow / PINO-loss convention,
+    pino_utils/losses.py:71-107); 2*pi -> [0, 1)^2 (the DINo solver,
+    data_pdes.py:233 `lap = 4 pi^2 (kx^2+ky^2)` with 2 pi k derivatives).
 
     w0: (B, N, N) initial vorticity; forcing: (N, N) or None-like zeros.
-    Returns (B, N, N, n_records) trajectory including the initial state?
-    -> records every `record_every` steps, NOT including w0.
+    Returns (B, N, N, n_records): records every `record_every` steps, NOT
+    including w0.
     """
     B, N, _ = w0.shape
     k = jnp.fft.fftfreq(N, d=1.0 / N)
-    k_x = k[:, None]
-    k_y = k[None, :]
+    k_x = deriv_scale * k[:, None]
+    k_y = deriv_scale * k[None, :]
     lap = k_x ** 2 + k_y ** 2
     lap_safe = lap.at[0, 0].set(1.0)
-    dealias = ((jnp.abs(k_x) <= (2.0 / 3.0) * (N // 2))
-               & (jnp.abs(k_y) <= (2.0 / 3.0) * (N // 2))).astype(w0.dtype)
+    kcut = (2.0 / 3.0) * (N // 2) * deriv_scale
+    dealias = ((jnp.abs(k_x) <= kcut)
+               & (jnp.abs(k_y) <= kcut)).astype(w0.dtype)
     f_h = jnp.fft.fft2(forcing) if forcing is not None else 0.0
 
     def nonlinear(w_h):
@@ -71,9 +88,9 @@ def ns_vorticity_rollout(w0, forcing, visc: float, dt: float,
     def step(w_h, _):
         nl = nonlinear(w_h)
         # Crank-Nicolson for viscosity, explicit advection + forcing
-        num = ((1.0 - 0.5 * dt * visc * (2 * jnp.pi) ** 2 * lap) * w_h
+        num = ((1.0 - 0.5 * dt * visc * lap) * w_h
                - dt * nl + dt * f_h)
-        den = 1.0 + 0.5 * dt * visc * (2 * jnp.pi) ** 2 * lap
+        den = 1.0 + 0.5 * dt * visc * lap
         return num / den, None
 
     def record_block(w_h, _):

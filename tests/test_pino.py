@@ -159,3 +159,59 @@ def test_pino_remat_matches_plain():
     g = jax.grad(lambda p: jnp.sum(
         rem.apply({"params": p}, a, re) ** 2))(params)
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+def test_grf_matches_reference_amplitude():
+    """GaussianRF parity: the 2-D eigenvalue scale is size**2 (GaussianRF
+    dim=2, DINo/data_pdes.py:176) and torch's complex randn has unit TOTAL
+    variance, so band power must follow size**4 * 2 * sigma**2 *
+    (4 pi^2 k^2 + tau^2)^-alpha / size^4(ifft) independent of resolution.
+    Regression for the round-2 `size * sqrt(2)` transcription that made
+    every sampled IC ~1/size of the intended amplitude (degenerate
+    KF datasets: all trajectories collapsed onto the same forced
+    response)."""
+    alpha, tau = 2.5, 7.0
+    sigma = tau ** (0.5 * (2 * alpha - 2.0))
+    for S in (32, 64):
+        u = np.asarray(gaussian_rf_2d(jax.random.PRNGKey(0), S, 256,
+                                      alpha=alpha, tau=tau))
+        power = (np.abs(np.fft.fft2(u, axes=(1, 2))) ** 2).mean(0)
+        k = np.fft.fftfreq(S, d=1.0 / S)
+        k2 = k[:, None] ** 2 + k[None, :] ** 2
+        # E|fft(Re ifft(eig*coeff))|^2 = eig^2/2 (the real part halves the
+        # power; identical in the torch reference, verified by direct A/B)
+        expect = (S ** 2 * np.sqrt(2.0) * sigma
+                  * (4 * np.pi ** 2 * k2 + tau ** 2) ** (-alpha / 2)) ** 2 / 2
+        expect[0, 0] = 0.0
+        band = np.abs(np.sqrt(k2) - 2.0) < 0.5
+        ratio = power[band].mean() / expect[band].mean()
+        assert 0.8 < ratio < 1.25, (S, ratio)
+        # resolution-independent sample amplitude
+        assert 0.1 < u.std() < 0.35, (S, u.std())
+
+
+def test_kf_data_satisfies_pino_residual():
+    """Generated Kolmogorov-flow data must satisfy the PINO residual loss
+    it is trained against: fdm_ns_vorticity uses the [0, 2pi)^2 convention
+    (derivative i*k, viscous nu*k^2 — pino_utils/losses.py:71-107), so the
+    generator must too.  Regression for the mixed-convention solver
+    (viscosity carried a (2pi)^2 factor the advection lacked: 'Re 400'
+    data was effectively Re ~ 10, and loss_f was O(1) even on clean
+    data)."""
+    from pde_policylearning_tpu.data import generate_kolmogorov_data
+    from pde_policylearning_tpu.ops.pde_losses import get_forcing, \
+        pino_loss_3d
+    S, T = 32, 9
+    traj = generate_kolmogorov_data(jax.random.PRNGKey(0), 2, S, T,
+                                    visc=1.0 / 40, t_interval=0.5,
+                                    substeps=64)
+    traj = np.asarray(traj)
+    assert np.isfinite(traj).all()
+    ic, lf = pino_loss_3d(jnp.asarray(traj), jnp.asarray(traj[..., 0]),
+                          get_forcing(S), 1.0 / 40, 0.5)
+    assert float(ic) < 1e-6
+    assert float(lf) < 0.05, float(lf)
+    # distinct ICs -> distinct trajectories (chaotic separation)
+    d = np.abs(traj[0, ..., -1] - traj[1, ..., -1]).max()
+    scale = np.abs(traj[0, ..., -1]).max()
+    assert d > 0.1 * scale, (d, scale)
