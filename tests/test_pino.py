@@ -215,3 +215,26 @@ def test_kf_data_satisfies_pino_residual():
     d = np.abs(traj[0, ..., -1] - traj[1, ..., -1]).max()
     scale = np.abs(traj[0, ..., -1]).max()
     assert d > 0.1 * scale, (d, scale)
+
+
+def test_fdm_ns_vorticity_dft_matches_fft():
+    """The FFT-free DFT-matmul residual path (TPU default: XLA's TPU FFT
+    is ~30x under roofline, NOTES_r2) must match the jnp.fft reference
+    path, including Nyquist rows, and differentiate identically."""
+    from pde_policylearning_tpu.ops.pde_losses import (
+        fdm_ns_vorticity, _fdm_ns_vorticity_dft)
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 9))
+    a = np.asarray(fdm_ns_vorticity(w, 1.0 / 40, 1.0, backend="fft"))
+    b = np.asarray(_fdm_ns_vorticity_dft(w, 1.0 / 40, 1.0))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-8 * np.abs(a).max())
+
+    def loss_fft(w):
+        return jnp.sum(fdm_ns_vorticity(w, 1.0 / 40, 1.0,
+                                        backend="fft") ** 2)
+
+    def loss_dft(w):
+        return jnp.sum(_fdm_ns_vorticity_dft(w, 1.0 / 40, 1.0) ** 2)
+
+    ga = np.asarray(jax.grad(loss_fft)(w))
+    gb = np.asarray(jax.grad(loss_dft)(w))
+    np.testing.assert_allclose(ga, gb, rtol=0, atol=1e-6 * np.abs(ga).max())
