@@ -99,6 +99,11 @@ def _install_shims():
         def __getattr__(self, item):
             if item == "__path__":
                 return []
+            if item.startswith("__") and item.endswith("__"):
+                # dunders must behave like a real module's (inspect walks
+                # sys.modules and chokes on a non-str __file__ during
+                # torch._dynamo's lazy import)
+                raise AttributeError(item)
             return object
 
     # logging/storage/vision deps pulled in at import time by
