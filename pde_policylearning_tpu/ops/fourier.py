@@ -182,31 +182,39 @@ def truncated_dft_conv_nd(
             iS = jnp.tensordot(im, Sm, axes=[[1], [1]], precision=hp)
             re, im = rC - iS, rS + iC
 
-    # ---- stacked weight: place each corner into the (M1..MN) mode block
-    # layout ([low; high] per full-fft axis), cf. _pad_config for the
-    # full-spectrum path
+    # ---- channel contraction PER CORNER on quadrant slices of the
+    # (M1..MN) mode block ([low; high] per full-fft axis), batched over
+    # modes (same precision policy as the XLA path's einsum: the backend
+    # default).  Contracting per corner instead of padding each corner
+    # weight into a stacked dense block keeps the padded/summed tensors at
+    # activation size (B*O*modes) rather than weight size (I*O*modes) —
+    # the stacked form materialized ~66 MB of zero-padded weights (and
+    # their cotangents) per w64 PINO layer per step.
     stacked = [2 * m for m in half_modes[:-1]] + [half_modes[-1]]
-    wr = wi = None
+    msym = "uvwxyz"[:order]
+    eq = f"bi{msym},io{msym}->bo{msym}"
+    orr = oii = None
     for w, corner in zip(weights, corner_slices(half_modes)):
         dense = factorized.to_dense(w)  # complex (I, O, h1..hN)
+        dwr = dense.real.astype(dt)
+        dwi = dense.imag.astype(dt)
+        qsl = [slice(None), slice(None)]
         cfg = [(0, 0, 0), (0, 0, 0)]
         for sl, h, M in zip(corner, half_modes, stacked):
             if sl.start is None:           # low block [0:h]
+                qsl.append(slice(None, h))
                 cfg.append((0, M - h, 0))
             else:                          # high block [h:2h]
+                qsl.append(slice(M - h, M))
                 cfg.append((M - h, 0, 0))
+        qr, qi = re[tuple(qsl)], im[tuple(qsl)]
+        br = jnp.einsum(eq, qr, dwr) - jnp.einsum(eq, qi, dwi)
+        bi = jnp.einsum(eq, qr, dwi) + jnp.einsum(eq, qi, dwr)
         zero = jnp.zeros((), dt)
-        pr = jax.lax.pad(dense.real.astype(dt), zero, cfg)
-        pi = jax.lax.pad(dense.imag.astype(dt), zero, cfg)
-        wr = pr if wr is None else wr + pr
-        wi = pi if wi is None else wi + pi
-
-    # ---- channel contraction, batched over modes (same precision policy
-    # as the XLA path's einsum: the backend default)
-    msym = "uvwxyz"[:order]
-    eq = f"bi{msym},io{msym}->bo{msym}"
-    orr = jnp.einsum(eq, re, wr) - jnp.einsum(eq, im, wi)
-    oii = jnp.einsum(eq, re, wi) + jnp.einsum(eq, im, wr)
+        pr = jax.lax.pad(br, zero, cfg)
+        pi = jax.lax.pad(bi, zero, cfg)
+        orr = pr if orr is None else orr + pr
+        oii = pi if oii is None else oii + pi
 
     # ---- inverse: contract mode axis 2 repeatedly with conj(F)^T; the
     # rfft axis takes the real part with conjugate-pair doubling, and the
