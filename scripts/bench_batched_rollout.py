@@ -22,6 +22,6 @@ for B in (1, 2, 4, 8, 16):
         times.append(time.perf_counter() - t0)
     t = min(times)
     per_step = t / T * 1e3
-    print(f"B={B:3d}: {per_step:7.3f} ms/step  "
-          f"({B*T/t:8.0f} agg steps/s, per-env {per_step/1:.3f} ms; "
-          f"finite {np.isfinite(x)})")
+    print(f"B={B:3d}: {per_step:7.3f} ms/batched-step  "
+          f"({B*T/t:8.0f} agg env-steps/s, per-env-step "
+          f"{per_step/B:.3f} ms; finite {np.isfinite(x)})")
