@@ -259,6 +259,7 @@ def test_step_n_matches_step():
         info_single["drag_reduction/2_1_mass_flow"], rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_f32_tracks_f64():
     """North-star parity (BASELINE.md): the f32 TPU-path env must stay
     within rel-L2 1e-3 of the f64 reference-precision solve.  Measured:
@@ -358,7 +359,7 @@ def test_developed_turbulence_snapshot():
     assert float(jnp.std(st.V)) > 0.2 * np.sqrt(utau2)
 
     # stays turbulent over a short horizon
-    st2, stats = cf.spinup_chunk(grid, st, 200)
+    st2, stats = cf.spinup_chunk(grid, st, 100)
     s = np.asarray(stats)
     assert np.isfinite(s).all()
-    assert s[-50:, :2].mean() > 2.0 * 3 * grid.nu * bulk
+    assert s[-30:, :2].mean() > 2.0 * 3 * grid.nu * bulk

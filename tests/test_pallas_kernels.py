@@ -63,6 +63,7 @@ def test_corner_contract_vjp_matches_einsum_grads():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spectral_conv_pallas_backend_grad():
     """End-to-end: spectral_conv_nd(backend='pallas') trains — grads match
     the XLA path."""
@@ -114,6 +115,7 @@ def test_fused_poisson_matches_unfused():
                                rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_rhs_matches_unfused():
     """envs/rhs_pallas: the fused momentum-RHS kernels must match the XLA
     path (forward + delegated VJP), interpret mode."""

@@ -223,7 +223,7 @@ def test_fdm_ns_vorticity_dft_matches_fft():
     path, including Nyquist rows, and differentiate identically."""
     from pde_policylearning_tpu.ops.pde_losses import (
         fdm_ns_vorticity, _fdm_ns_vorticity_dft)
-    w = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 9))
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 5))
     a = np.asarray(fdm_ns_vorticity(w, 1.0 / 40, 1.0, backend="fft"))
     b = np.asarray(_fdm_ns_vorticity_dft(w, 1.0 / 40, 1.0))
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-8 * np.abs(a).max())

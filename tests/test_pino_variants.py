@@ -1,4 +1,5 @@
 """PINO mixed/progressive/Burgers training variants."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,7 @@ def test_mixed_train_runs():
     assert np.isfinite(hist["eq"]).all()
 
 
+@pytest.mark.slow
 def test_progressive_train_runs():
     coarse = _small_kf()
     model = models.PINObserver2d(modes1=(3, 3), modes2=(3, 3),

@@ -133,6 +133,7 @@ def partial_interpret(fn):
     return wrapped
 
 
+@pytest.mark.slow
 def test_batched_kernels_match_per_env(setup):
     """Packed-batch (grid-over-envs) kernels == per-env unbatched fused
     kernels, env by env (interpret mode)."""

@@ -65,6 +65,7 @@ def test_trainer_loss_decreases(tiny_dataset):
     assert np.isfinite(hist["best_loss"])
 
 
+@pytest.mark.slow
 def test_trainer_bf16_accuracy_delta(tiny_dataset):
     """Mixed-precision (compute_dtype=bf16, master f32): must converge to
     within a small delta of the f32 run (VERDICT r1 item 4c)."""
@@ -177,6 +178,7 @@ def test_observer_driver_run_control_handoff(tiny_dataset, monkeypatch,
     assert np.isfinite(hist["best_loss"])
 
 
+@pytest.mark.slow
 def test_observer_driver_recurrent(tiny_dataset, monkeypatch, tmp_path):
     """Driver main() through the recurrent (SequentialPDEDataset/RNO)
     branch (run_pde_observers.py recurrent_model path)."""
