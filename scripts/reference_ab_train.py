@@ -21,6 +21,19 @@ import numpy as np
 
 DATA = "data/planes_channel180_minchan"
 NTRAIN, NTEST = 1000, 200
+SPLIT = "tail"  # "tail": test = last NTEST of the run (distribution-shifted
+#                 far-future states); "interleaved": test = every 10th of
+#                 the first 2000 steps (matches the reference protocol's
+#                 random_split distribution)
+
+
+def split_indices():
+    if SPLIT == "tail":
+        return np.arange(NTRAIN), np.arange(10000 - NTEST, 10000)
+    idx = np.arange(0, 2000)
+    test = idx[::10][:NTEST]
+    train = np.setdiff1d(idx, test)[:NTRAIN]
+    return train, test
 BATCH = 20
 LR, WD = 1e-3, 1e-4
 STEP_SIZE, GAMMA = 50, 0.5
@@ -51,8 +64,9 @@ def run_reference(epochs):
     v_mean = torch.tensor(meta["V_planes"]["mean"], dtype=torch.float32)
     v_std = torch.tensor(meta["V_planes"]["std"], dtype=torch.float32)
 
-    ptr, vtr = load_planes(range(NTRAIN))
-    pte, vte = load_planes(range(10000 - NTEST, 10000))
+    tr_idx, te_idx = split_indices()
+    ptr, vtr = load_planes(tr_idx)
+    pte, vte = load_planes(te_idx)
     ptr = (torch.tensor(ptr) - p_mean) / p_std
     pte = (torch.tensor(pte) - p_mean) / p_std
     vtr_n = (torch.tensor(vtr) - v_mean) / v_std
@@ -105,13 +119,15 @@ def run_reference(epochs):
 
 def run_ours(epochs):
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("AB_OURS_TPU") != "1":
+        jax.config.update("jax_platforms", "cpu")
     from pde_policylearning_tpu import models
     from pde_policylearning_tpu.data import PDEDataset
     from pde_policylearning_tpu.training import Trainer
 
-    train_ds = PDEDataset.from_folder(DATA, np.arange(NTRAIN))
-    test_ds = PDEDataset.from_folder(DATA, np.arange(10000 - NTEST, 10000))
+    tr_idx, te_idx = split_indices()
+    train_ds = PDEDataset.from_folder(DATA, tr_idx)
+    test_ds = PDEDataset.from_folder(DATA, te_idx)
     x_train, y_train = train_ds.arrays()
     x_test, y_test = test_ds.arrays()
     model = models.FNO2dObserver(modes1=12, modes2=12, width=32)
@@ -129,7 +145,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--side", choices=["ours", "ref"], default=None)
+    ap.add_argument("--split", choices=["tail", "interleaved"],
+                    default="tail")
     args = ap.parse_args()
+    global SPLIT
+    SPLIT = args.split
     if args.side == "ours":
         print(f"RESULT {run_ours(args.epochs):.6f}")
         return
@@ -144,7 +164,7 @@ def main():
     def side(name):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--side", name,
-             "--epochs", str(args.epochs)],
+             "--epochs", str(args.epochs), "--split", args.split],
             capture_output=True, text=True)
         sys.stdout.write(out.stdout)
         if out.returncode:
