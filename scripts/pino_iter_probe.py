@@ -41,3 +41,42 @@ for seed in (2, 3, 4):
     _, _, l = train_iters(params, s0, jax.random.PRNGKey(seed)); float(l)
     best = min(best, (time.perf_counter()-t0)/50*1e3)
 print(f"PINO train iter (64^2x17 w64 b4): {best:.1f} ms (min of 3x50; r2: 40.1)")
+
+# --- component breakdown (clean chip): forward, grad, one spectral layer
+def timed(fn, tag, n=50):
+    @jax.jit
+    def many(p, key):
+        def body(c, k):
+            ab = jax.random.normal(k, (B, S, S, T, 4))
+            return c + fn(p, ab), None
+        out, _ = jax.lax.scan(body, 0.0, jax.random.split(key, n))
+        return out
+    float(many(params, jax.random.PRNGKey(11)))
+    best = 1e9
+    for seed in (12, 13, 14):
+        t0 = time.perf_counter(); float(many(params, jax.random.PRNGKey(seed)))
+        best = min(best, (time.perf_counter()-t0)/n*1e3)
+    print(f"{tag}: {best:.2f} ms")
+
+timed(lambda p, ab: jnp.sum(model.apply({"params": p}, ab, re)), "forward only")
+timed(lambda p, ab: loss_fn(p, ab), "forward+losses")
+timed(lambda p, ab: jax.grad(loss_fn)(p, ab)["fc1"]["kernel"].sum(),
+      "value+grad")
+
+from pde_policylearning_tpu.ops.fourier import truncated_dft_conv_nd
+# one w64 3-D spectral conv at the trunk shape
+from pde_policylearning_tpu.ops import factorized
+key2 = jax.random.PRNGKey(5)
+wts = [factorized.init_factorized(jax.random.fold_in(key2, i),
+                                  (64, 64, 8, 8, 8), "dense")
+       for i in range(4)]
+def layer_fwd(p, ab):
+    return jnp.sum(truncated_dft_conv_nd(ab[..., :4].repeat(16, axis=-1),
+                                         wts, (8, 8, 8)))
+timed(layer_fwd, "one spectral layer fwd (incl 16x chan tile)")
+def layer_grad(p, ab):
+    x = ab[..., :4].repeat(16, axis=-1)
+    f = lambda ws: jnp.sum(truncated_dft_conv_nd(x, ws, (8, 8, 8)) ** 2)
+    g = jax.grad(f)(wts)
+    return sum(jnp.sum(l) for l in jax.tree.leaves(g))
+timed(layer_grad, "one spectral layer grad")

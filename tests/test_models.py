@@ -24,7 +24,7 @@ def _init_and_run(model, *args, **kwargs):
     ("tt", "factorized", 2),
     # … and dimension sweep with dense weights
     (None, "reconstructed", 1),
-    (None, "reconstructed", 3),
+    pytest.param(None, "reconstructed", 3, marks=pytest.mark.slow),
 ])
 def test_fno_forward_backward(factorization, implementation, n_dim):
     modes = (6,) * n_dim

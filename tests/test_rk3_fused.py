@@ -171,7 +171,8 @@ def test_batched_kernels_match_per_env(setup):
         assert rel(p2b[:, sl], p2s) < 1e-5
 
 
-@pytest.mark.parametrize("policy", ["gt", "rand"])
+@pytest.mark.parametrize("policy", [
+    "gt", pytest.param("rand", marks=pytest.mark.slow)])
 def test_batched_rollout_packed_matches_vmap(setup, policy, monkeypatch):
     """The packed-batch fused rollout == the vmapped XLA rollout (the
     public batched_rollout contract), via interpret mode + forced fused
