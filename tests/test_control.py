@@ -100,3 +100,25 @@ def test_divergence_guard():
     with pytest.raises(RuntimeError, match="diverged"):
         run_closed_loop(env, bad_policy, n_steps=40, log_interval=10,
                         verbose=False)
+
+
+def test_transformer_observer_policy(env):
+    """The transformer policy consumes a (B, T, H, W, 1) sequence and
+    actuates on its LAST timestep prediction (run_control.py transformer
+    branch)."""
+    model = models.SimpleTransformer(n_hidden=16, n_head=2,
+                                     attention_type="fourier",
+                                     freq_dim=8, fourier_modes=3)
+    x = jnp.zeros((1, 2, 8, 8, 1))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    p_norm = NormalizerGivenMeanStd(jnp.zeros(()), jnp.ones(()))
+    v_norm = NormalizerGivenMeanStd(jnp.zeros(()), jnp.asarray(1e-3))
+    policy = make_policy("transformer", env.grid, model=model,
+                         params=params, p_norm=p_norm, v_norm=v_norm,
+                         model_timestep=2, action_scale=0.3,
+                         action_clip=0.01)
+    res = run_closed_loop(env, policy, n_steps=4, log_interval=4,
+                          verbose=False, collect_planes=True)
+    assert np.isfinite(res["opV2"]).all()
+    # zero-net-flux: the actuation plane is mean-subtracted
+    assert abs(res["opV2"][-1].mean()) < 1e-8
