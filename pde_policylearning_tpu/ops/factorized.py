@@ -44,7 +44,11 @@ def as_complex(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _normal_pair(key, shape, std, dtype):
-    """Init a (2, *shape) real array whose complex view has std `std`."""
+    """Init a (2, *shape) real array whose complex view has std `std`.
+
+    Matches torch's complex normal_ exactly (verified by direct sampling:
+    normal_(cfloat, 0, s) gives component std s/sqrt(2), |w| rms s —
+    the reference spectral convs' init, spectral_convolution.py:223)."""
     # real/imag each get std/sqrt(2) so |w| has the requested std.
     return std / math.sqrt(2.0) * jax.random.normal(key, (2, *shape), dtype=dtype)
 

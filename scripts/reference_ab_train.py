@@ -47,7 +47,7 @@ def load_planes(idx):
     return p.astype(np.float32), v.astype(np.float32)
 
 
-def run_reference(epochs):
+def run_reference(epochs, seed=0):
     import torch
     sys.path.insert(0, "/root/repo/tests")
     from test_reference_parity import _install_shims
@@ -56,7 +56,7 @@ def run_reference(epochs):
     from libs.models.fno_models import FNO2dObserver
     from libs.utilities3 import LpLoss
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     meta = np.load(os.path.join(DATA, "metadata.npy"),
                    allow_pickle=True).tolist()
     p_mean = torch.tensor(meta["P_planes"]["mean"], dtype=torch.float32)
@@ -77,7 +77,7 @@ def run_reference(epochs):
     sched = torch.optim.lr_scheduler.StepLR(opt, step_size=STEP_SIZE,
                                             gamma=GAMMA)
     myloss = LpLoss(size_average=False)
-    g = torch.Generator().manual_seed(0)
+    g = torch.Generator().manual_seed(seed)
     best = float("inf")
     for ep in range(epochs):
         model.train()
@@ -117,7 +117,7 @@ def run_reference(epochs):
     return best
 
 
-def run_ours(epochs):
+def run_ours(epochs, seed=0):
     import jax
     if os.environ.get("AB_OURS_TPU") != "1":
         jax.config.update("jax_platforms", "cpu")
@@ -135,8 +135,10 @@ def run_ours(epochs):
                       learning_rate=LR, weight_decay=WD,
                       step_size=STEP_SIZE, gamma=GAMMA,
                       decoder=train_ds.v_norm, log_interval=10)
+    import jax as _jax
     best_params, history = trainer.train((x_train, y_train),
-                                         (x_test, y_test))
+                                         (x_test, y_test),
+                                         rng=_jax.random.PRNGKey(seed))
     return float(history["best_loss"])
 
 
@@ -147,14 +149,15 @@ def main():
     ap.add_argument("--side", choices=["ours", "ref"], default=None)
     ap.add_argument("--split", choices=["tail", "interleaved"],
                     default="tail")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     global SPLIT
     SPLIT = args.split
     if args.side == "ours":
-        print(f"RESULT {run_ours(args.epochs):.6f}")
+        print(f"RESULT {run_ours(args.epochs, args.seed):.6f}")
         return
     if args.side == "ref":
-        print(f"RESULT {run_reference(args.epochs):.6f}")
+        print(f"RESULT {run_reference(args.epochs, args.seed):.6f}")
         return
     # torch breaks when imported after jax in one process (inspect/fake-op
     # registration clash with the image's jax site hook): run each side in
