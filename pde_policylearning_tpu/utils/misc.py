@@ -7,12 +7,32 @@ energy-spectrum utilities).
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def apply_env_platform():
+    """Make the JAX_PLATFORMS env var effective for driver scripts.
+
+    Some images register a TPU plugin from sitecustomize and call
+    ``jax.config.update("jax_platforms", ...)`` at interpreter start, which
+    silently overrides the env var — ``JAX_PLATFORMS=cpu python driver.py``
+    then still initializes (and can hang on) the remote TPU backend.
+    Re-applying the env value through the config restores the documented
+    env-var contract.  No-op when the var is unset or when its highest-
+    priority platform already leads the config value (so the image's
+    default "axon,cpu" ordering is left alone under JAX_PLATFORMS=axon)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    current = jax.config.jax_platforms or ""
+    if current.split(",")[0].strip() != plat.split(",")[0].strip():
+        jax.config.update("jax_platforms", plat)
 
 
 def count_params(params) -> int:
