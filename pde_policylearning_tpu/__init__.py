@@ -16,14 +16,3 @@ reference `neuraloperator/pde-policylearning` codebase (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
-
-# Restore the documented JAX_PLATFORMS env-var contract for everything that
-# imports this package: some images force the remote-TPU platform through a
-# sitecustomize config write that silently overrides the env var, which
-# makes `JAX_PLATFORMS=cpu python <driver>` initialize (and potentially
-# hang on) the remote backend.  No-op unless the env var disagrees with
-# the configured priority platform.
-from .utils.misc import apply_env_platform as _apply_env_platform  # noqa: E402
-
-_apply_env_platform()
-del _apply_env_platform

@@ -26,7 +26,11 @@ def apply_env_platform():
     Re-applying the env value through the config restores the documented
     env-var contract.  No-op when the var is unset or when its highest-
     priority platform already leads the config value (so the image's
-    default "axon,cpu" ordering is left alone under JAX_PLATFORMS=axon)."""
+    default "axon,cpu" ordering is left alone under JAX_PLATFORMS=axon).
+
+    Called from each root driver's entry point (NOT at package import:
+    scripts that pin a platform programmatically before importing the
+    package must not be overridden by a stale env var)."""
     plat = os.environ.get("JAX_PLATFORMS")
     if not plat:
         return

@@ -81,6 +81,8 @@ def run_cavity(steps: int):
 
 
 if __name__ == "__main__":
+    from pde_policylearning_tpu.utils import apply_env_platform
+    apply_env_platform()
     parser = argparse.ArgumentParser()
     parser.add_argument("--case", default="channel",
                         choices=["channel", "cavity"])

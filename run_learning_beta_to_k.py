@@ -99,4 +99,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from pde_policylearning_tpu.utils import apply_env_platform
+    apply_env_platform()
     main()
