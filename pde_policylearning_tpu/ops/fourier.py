@@ -259,6 +259,143 @@ def truncated_dft_conv_nd(
     return out
 
 
+def _assemble_corner_weights(weights, half_modes: Sequence[int], dt):
+    """Concatenate the 2^(N-1) corner weights into one full stacked-mode
+    block, mode axes REVERSED (M_N..M_1) and flattened, as (re, im) pairs
+    of shape (I, O, prod(M)).
+
+    The stacked transform of `fused_dft_conv_nd` computes exactly the
+    [low; high] frequencies per axis, so the corners tile the whole block —
+    assembly is pure concatenation (no zero-fill), in the corner order of
+    `corner_slices` (itertools.product, last axis fastest)."""
+    order = len(half_modes)
+    dense = [factorized.to_dense(w) for w in weights]  # complex (I,O,h1..hN)
+
+    def build(ws, axis):
+        if axis == order - 1:  # rfft axis: low modes only
+            return ws[0]
+        half = len(ws) // 2
+        lo = build(ws[:half], axis + 1)
+        hi = build(ws[half:], axis + 1)
+        return jnp.concatenate([lo, hi], axis=2 + axis)
+
+    full = build(dense, 0)  # (I, O, M1s..MNs)
+    perm = (0, 1) + tuple(range(order + 1, 1, -1))
+    full = jnp.transpose(full, perm)  # (I, O, MNs..M1s)
+    I, O = full.shape[:2]
+    full = full.reshape(I, O, -1)
+    return full.real.astype(dt), full.imag.astype(dt)
+
+
+def fused_dft_conv_nd(
+    x: jnp.ndarray,
+    weights: Sequence[dict],
+    half_modes: Sequence[int],
+    *,
+    fft_norm: str = "backward",
+    bias: Optional[jnp.ndarray] = None,
+    output_sizes: Optional[Sequence[int]] = None,
+) -> jnp.ndarray:
+    """Kernel-count-minimized DFT-matmul spectral convolution.
+
+    Same math as `truncated_dft_conv_nd` (reference semantics:
+    neuralop/models/spectral_convolution.py:303-347) but engineered for the
+    dispatch-bound TPU regime the round-2 MFU analysis identified (~30 us
+    per kernel launch; the chained tensordot path emits ~60 kernels per
+    layer forward):
+
+    * the rfft axis is contracted FIRST — its transpose is a local
+      (s_N, C) tile swap instead of a major-axis move of the full array;
+    * re/im ride ONE stacked array (leading axis 2B), so each transform
+      axis costs two matmuls + one fused combine instead of four matmuls;
+    * the 2^(N-1) corner weights are concatenated into one stacked-mode
+      block (pure concat — the kept spectrum is exactly tiled by the
+      corners) so the channel contraction is a single batched einsum per
+      re/im component instead of 4 einsums x corners + pad + sum;
+    * mode axes stay flattened through the middle; the inverse mirrors the
+      forward with the normalization folded into the last inverse matrix.
+
+    ~3x fewer kernels per layer than `truncated_dft_conv_nd`; exact to f32
+    (same HIGHEST-precision transforms, default-precision contraction).
+    """
+    order = len(half_modes)
+    spatial = x.shape[1:1 + order]
+    B = x.shape[0]
+    in_dtype = x.dtype
+    if in_dtype not in (jnp.float32, jnp.float64):
+        x = x.astype(jnp.float32)
+    dt = x.dtype
+    hp = jax.lax.Precision.HIGHEST
+
+    mats = [_dft_mats(spatial[k], half_modes[k], k == order - 1, dt)
+            for k in range(order)]
+
+    # ---- forward: rfft axis first (x is real: two matmuls), then axes
+    # N-1..1 on the stacked [re; im] array (two matmuls + combine each).
+    sp = "qrstuvwx"[:order]
+    eq = f"b{sp}c,z{sp[-1]}->b{sp[:-1]}cz"
+    CT, ST = mats[-1]
+    re = jnp.einsum(eq, x, CT, precision=hp)
+    im = jnp.einsum(eq, x, ST, precision=hp)
+    z = jnp.concatenate([re, im], axis=0)  # (2B, s1..s_{N-1}, C, M_N)
+    for k in range(order - 2, -1, -1):
+        Ck, Sk = mats[k]
+        zc = jnp.tensordot(z, Ck, axes=[[k + 1], [1]], precision=hp)
+        zs = jnp.tensordot(z, Sk, axes=[[k + 1], [1]], precision=hp)
+        # (re + i im) @ (C + i S): re' = re C - im S, im' = re S + im C
+        z = jnp.concatenate([zc[:B] - zs[B:], zs[:B] + zc[B:]], axis=0)
+
+    # ---- single channel contraction over the assembled corner block
+    # (modes flattened, reversed order M_N..M_1 matching the transform).
+    z = z.reshape(2 * B, z.shape[1], -1)  # (2B, C_in, Mflat)
+    Wr, Wi = _assemble_corner_weights(weights, half_modes, dt)
+    yr = jnp.einsum("bcm,com->bom", z, Wr)
+    yi = jnp.einsum("bcm,com->bom", z, Wi)
+    z = jnp.concatenate([yr[:B] - yi[B:], yi[:B] + yr[B:]], axis=0)
+
+    # ---- inverse: expand M_1..M_N in turn; inverse kernel is conj(F) =
+    # C - i S, so re' = re C + im S, im' = im C - re S; the rfft step keeps
+    # the real part only (conjugate doubling + normalization in the mats).
+    out_sizes = tuple(output_sizes) if output_sizes is not None \
+        else tuple(spatial)
+    n_in = n_out = 1
+    for s, o in zip(spatial, out_sizes):
+        n_in *= s
+        n_out *= o
+    if fft_norm == "backward":
+        scale = 1.0 / n_out
+    elif fft_norm == "forward":
+        scale = 1.0 / n_in
+    else:  # ortho
+        scale = 1.0 / (n_in * n_out) ** 0.5
+
+    stacked = [2 * m for m in half_modes[:-1]] + [half_modes[-1]]
+    z = z.reshape(2 * B, z.shape[1], *reversed(stacked))
+    for j in range(order):
+        last = j == order - 1
+        Cm, Sm = _idft_mats(spatial[j], half_modes[j], last,
+                            out_sizes[j], dt)
+        if last:
+            Cm = Cm * scale
+            Sm = Sm * scale
+        # z: (2B, C, M_N..M_{j+1}, s1..s_j) — M_{j+1} is just before the
+        # j expanded spatial axes
+        ax = z.ndim - 1 - j
+        zc = jnp.tensordot(z, Cm, axes=[[ax], [0]], precision=hp)
+        zs = jnp.tensordot(z, Sm, axes=[[ax], [0]], precision=hp)
+        if last:
+            out = zc[:B] + zs[B:]  # real part (conjugate symmetry folded)
+            break
+        z = jnp.concatenate([zc[:B] + zs[B:], zc[B:] - zs[:B]], axis=0)
+
+    out = jnp.moveaxis(out, 1, -1)
+    if bias is not None:
+        out = out + bias
+    if out.dtype != in_dtype and in_dtype not in (jnp.float32, jnp.float64):
+        out = out.astype(in_dtype)
+    return out
+
+
 def slice_weight_modes(params: dict, half_modes: Sequence[int],
                        separable: bool = False) -> dict:
     """Restrict a factorized weight to its first `half_modes` modes per axis
@@ -329,6 +466,14 @@ def spectral_conv_nd(
             raise ValueError(
                 "backend='dft' requires separable=False and an unbatched "
                 "(B, *spatial, C) input")
+        if backend == "dft_fused":
+            if not dft_ok:
+                raise ValueError(
+                    "backend='dft_fused' requires separable=False and an "
+                    "unbatched (B, *spatial, C) input")
+            return fused_dft_conv_nd(
+                x, weights, half_modes, fft_norm=fft_norm, bias=bias,
+                output_sizes=output_sizes)
         if backend == "dft" or (backend == "auto" and dft_ok
                                 and jax.default_backend() == "tpu"):
             # XLA's TPU FFT runs far below the roofline; the truncated-DFT

@@ -1,4 +1,8 @@
 """Measure packed batched rollout: per-step cost vs B (VERDICT item 4)."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp

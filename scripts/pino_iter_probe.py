@@ -1,4 +1,8 @@
 """Clean-chip PINO train-iter timing at the r2 ledger shape (64^2x17 w64 b4)."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import jax, jax.numpy as jnp, optax
 from pde_policylearning_tpu.models.pino import PINObserver2d

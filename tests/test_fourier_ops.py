@@ -41,21 +41,25 @@ def test_pad_assembly_matches_scatter_oracle(order, half_modes, spatial):
     (3, (3, 2, 2), (8, 8, 7)),  # odd rfft axis
 ])
 @pytest.mark.parametrize("norm", ["backward", "forward", "ortho"])
-def test_dft_backend_matches_fft_path(order, half_modes, spatial, norm):
-    """backend='dft' (truncated-DFT matmul sandwich, the TPU fast path)
-    must reproduce the rfftn/irfftn path exactly."""
+@pytest.mark.parametrize("backend", ["dft", "dft_fused"])
+def test_dft_backend_matches_fft_path(order, half_modes, spatial, norm,
+                                      backend):
+    """backend='dft' (truncated-DFT matmul sandwich, the TPU fast path) and
+    backend='dft_fused' (kernel-count-minimized variant) must reproduce the
+    rfftn/irfftn path exactly."""
     n_w = 2 ** (order - 1)
     ws = _weights(jax.random.PRNGKey(4), n_w, (3, 5, *half_modes))
     x = jax.random.normal(jax.random.PRNGKey(5), (2, *spatial, 3))
     ref = fourier.spectral_conv_nd(x, ws, half_modes, fft_norm=norm)
     out = fourier.spectral_conv_nd(x, ws, half_modes, fft_norm=norm,
-                                   backend="dft")
+                                   backend=backend)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-6)
 
 
 @pytest.mark.parametrize("factorization", ["tucker", "cp"])
-def test_dft_backend_factorized_and_grads(factorization):
+@pytest.mark.parametrize("dft_backend", ["dft", "dft_fused"])
+def test_dft_backend_factorized_and_grads(factorization, dft_backend):
     half_modes = (3, 3)
     ws = _weights(jax.random.PRNGKey(6), 2, (4, 4, *half_modes),
                   factorization, rank=0.8)
@@ -65,9 +69,9 @@ def test_dft_backend_factorized_and_grads(factorization):
         out = fourier.spectral_conv_nd(x, ws, half_modes, backend=backend)
         return jnp.mean(out ** 2)
 
-    np.testing.assert_allclose(float(loss(ws, "dft")), float(loss(ws, "xla")),
-                               rtol=1e-5)
-    g_d = jax.grad(lambda w: loss(w, "dft"))(ws)
+    np.testing.assert_allclose(float(loss(ws, dft_backend)),
+                               float(loss(ws, "xla")), rtol=1e-5)
+    g_d = jax.grad(lambda w: loss(w, dft_backend))(ws)
     g_x = jax.grad(lambda w: loss(w, "xla"))(ws)
     for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -76,7 +80,9 @@ def test_dft_backend_factorized_and_grads(factorization):
 
 @pytest.mark.parametrize("out_sizes", [(24, 24), (6, 6), (24, 6), (13, 9)])
 @pytest.mark.parametrize("norm", ["backward", "forward"])
-def test_dft_backend_output_scaling_matches_fft_path(out_sizes, norm):
+@pytest.mark.parametrize("dft_backend", ["dft", "dft_fused"])
+def test_dft_backend_output_scaling_matches_fft_path(out_sizes, norm,
+                                                     dft_backend):
     """The DFT path must replicate irfftn(s=output_sizes)'s pad/truncate
     semantics exactly for the up/down-scaling layers (UNO)."""
     half_modes = (3, 3)
@@ -85,7 +91,8 @@ def test_dft_backend_output_scaling_matches_fft_path(out_sizes, norm):
     ref = fourier.spectral_conv_nd(x, ws, half_modes, fft_norm=norm,
                                    output_sizes=out_sizes)
     out = fourier.spectral_conv_nd(x, ws, half_modes, fft_norm=norm,
-                                   output_sizes=out_sizes, backend="dft")
+                                   output_sizes=out_sizes,
+                                   backend=dft_backend)
     assert out.shape == ref.shape == (2, *out_sizes, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-6)
@@ -97,10 +104,11 @@ def test_dft_backend_bias():
     x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 3))
     bias = jnp.asarray([0.5, -1.0, 2.0])
     ref = fourier.spectral_conv_nd(x, ws, half_modes, bias=bias)
-    out = fourier.spectral_conv_nd(x, ws, half_modes, bias=bias,
-                                   backend="dft")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-6)
+    for be in ("dft", "dft_fused"):
+        out = fourier.spectral_conv_nd(x, ws, half_modes, bias=bias,
+                                       backend=be)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-6)
 
 
 @pytest.mark.parametrize("factorization", ["dense", "tucker", "cp", "tt"])
