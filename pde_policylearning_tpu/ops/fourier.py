@@ -15,6 +15,7 @@ contraction -> irfftn (reference: neuralop/models/spectral_convolution.py:143,
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -460,6 +461,16 @@ def spectral_conv_nd(
     Returns (B, e1, ..., eN, C_out) real.
     """
     order = len(half_modes)
+    if backend == "auto":
+        # Deployment knob: PDE_SPECTRAL_BACKEND flips every 'auto' call
+        # site at once (no code edits for A/B runs).  Applied only when the
+        # call is eligible, so mixed-model programs keep working.
+        env = os.environ.get("PDE_SPECTRAL_BACKEND", "")
+        if env == "xla":
+            backend = "xla"
+        elif env in ("dft", "dft_fused") and not separable \
+                and x.ndim == order + 2:
+            backend = env
     if backend != "xla":
         dft_ok = not separable and x.ndim == order + 2
         if backend == "dft" and not dft_ok:

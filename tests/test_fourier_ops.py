@@ -111,6 +111,32 @@ def test_dft_backend_bias():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_spectral_backend_env_knob(monkeypatch):
+    """PDE_SPECTRAL_BACKEND flips 'auto' call sites to the named backend
+    when eligible, and leaves ineligible (separable) calls on the default
+    path instead of raising."""
+    half_modes = (3, 3)
+    ws = _weights(jax.random.PRNGKey(8), 2, (3, 3, *half_modes))
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 3))
+    calls = []
+    real = fourier.fused_dft_conv_nd
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(fourier, "fused_dft_conv_nd", spy)
+    monkeypatch.setenv("PDE_SPECTRAL_BACKEND", "dft_fused")
+    ref = fourier.spectral_conv_nd(x, ws, half_modes, backend="xla")
+    out = fourier.spectral_conv_nd(x, ws, half_modes)
+    assert calls, "env knob did not route 'auto' to the fused backend"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+    # separable call is ineligible: must fall back, not raise
+    ws_sep = _weights(jax.random.PRNGKey(8), 2, (3, *half_modes))
+    fourier.spectral_conv_nd(x, ws_sep, half_modes, separable=True)
+
+
 @pytest.mark.parametrize("factorization", ["dense", "tucker", "cp", "tt"])
 @pytest.mark.parametrize("implementation", ["reconstructed", "factorized"])
 def test_spectral_conv_factorizations(factorization, implementation):
