@@ -22,8 +22,9 @@ def _init_and_run(model, *args, **kwargs):
     ("tucker", "factorized", 2),
     ("cp", "factorized", 2),
     ("tt", "factorized", 2),
-    # … and dimension sweep with dense weights
-    (None, "reconstructed", 1),
+    # … and dimension sweep with dense weights (slow: the 2-d grid above
+    # already exercises the core path every run)
+    pytest.param(None, "reconstructed", 1, marks=pytest.mark.slow),
     pytest.param(None, "reconstructed", 3, marks=pytest.mark.slow),
 ])
 def test_fno_forward_backward(factorization, implementation, n_dim):

@@ -141,9 +141,11 @@ def test_train_ns_grad_accumulation_matches_full_batch():
         train_ns(model, data, accum_steps=3, **kw)
 
 
+@pytest.mark.slow
 def test_pino_remat_matches_plain():
     """remat=True must be numerically identical (same params, same out)
-    and reduce nothing but memory."""
+    and reduce nothing but memory.  Slow: opt-in memory knob, exercised by
+    the full-budget pretrain itself."""
     import jax
     from pde_policylearning_tpu.models.pino import PINObserver2d
     kw = dict(modes1=[3] * 2, modes2=[3] * 2, modes3=[2] * 2,

@@ -46,9 +46,12 @@ def test_rk3_step_fused_matches_xla(setup):
     np.testing.assert_allclose(float(out.dPdx), float(ref.dPdx), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_rk3_step_fused_multi_step(setup):
     """Error stays at roundoff level over several steps (no systematic
-    drift from the shift/stencil rewrites)."""
+    drift from the shift/stencil rewrites).  Slow: single-step parity and
+    grad delegation run every suite; the 500-step drift is also checked on
+    the chip (NOTES_r3)."""
     grid, st, op1, op2 = setup
     ref = st
     out = st
