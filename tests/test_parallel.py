@@ -170,3 +170,22 @@ def test_data_parallel_rollout_matches_unsharded():
     np.testing.assert_allclose(np.asarray(dp_outs[0]),
                                np.asarray(ref_outs[0]), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_fused_dft_conv_under_dp_sharding(monkeypatch):
+    """backend='dft_fused' stacks re/im as a 2B leading axis — it must stay
+    GSPMD-partitionable and exact when the batch is sharded over 'data'
+    (the pretrain runs DP with PDE_SPECTRAL_BACKEND=dft_fused)."""
+    from pde_policylearning_tpu.ops import factorized, fourier
+    mesh = make_mesh(model_parallel_size=1)
+    hm = (3, 3)
+    key = jax.random.PRNGKey(3)
+    ws = [factorized.init_factorized(jax.random.fold_in(key, i),
+                                     (4, 4, *hm), "dense") for i in range(2)]
+    x = jax.random.normal(key, (8, 12, 12, 4))
+    ref = fourier.spectral_conv_nd(x, ws, hm, backend="xla")
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda x, w: fourier.spectral_conv_nd(
+        x, w, hm, backend="dft_fused"))(xs, ws)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
