@@ -1,0 +1,63 @@
+"""Reference (torch) default-init redraw for training A/Bs.
+
+The weight-transplant tests (tests/test_reference_parity.py) prove forward
+parity, but *training* A/Bs also need the same starting distribution.
+torch initializes nn.Linear / nn.ConvNd with
+``kaiming_uniform_(a=sqrt(5))`` = U(+-sqrt(1/fan_in)) kernels and
+U(+-1/sqrt(fan_in)) biases (torch/nn/modules/linear.py reset_parameters),
+while flax Dense defaults to lecun-normal kernels (~2.3x the std) and zero
+biases.  At small-sample budgets where best-test occurs within the first
+few epochs, the init distribution measurably shifts the result.
+
+`torch_reinit` walks a flax param tree and re-draws every Dense/1x1-conv
+``kernel`` (ndim==2) and its sibling ``bias`` from the torch formula.
+Spectral weights (real-stacked ``(2, ...)`` leaves) are left untouched:
+their init already matches the reference's scaled complex ``normal_``
+(models/spectral_layers.py; fno_models.py:SpectralConv2d).  A ``bias``
+living beside spectral weights (the per-layer conv bias that the reference
+keeps on its 1x1 Conv1d skips, fno_models.py w0-w3) is re-drawn with
+fan_in = width.
+"""
+from __future__ import annotations
+
+import zlib
+
+import jax
+import jax.numpy as jnp
+
+
+def _u(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_reinit(params, rng):
+    """Return a copy of `params` with Dense kernels/biases re-drawn from
+    the torch default init (see module docstring).  Deterministic in
+    (params structure, rng)."""
+
+    def visit(tree, path):
+        out = {}
+        kernel = tree.get("kernel")
+        dense = (kernel is not None and hasattr(kernel, "ndim")
+                 and kernel.ndim == 2)
+        for name, v in tree.items():
+            sub = f"{path}/{name}"
+            key = jax.random.fold_in(rng, zlib.crc32(sub.encode()))
+            if isinstance(v, dict):
+                out[name] = visit(v, sub)
+            elif dense and name == "kernel":
+                fan_in = v.shape[0]
+                out[name] = _u(key, v.shape, float(fan_in) ** -0.5, v.dtype)
+            elif dense and name == "bias":
+                fan_in = kernel.shape[0]
+                out[name] = _u(key, v.shape, float(fan_in) ** -0.5, v.dtype)
+            elif name == "bias" and hasattr(v, "ndim"):
+                # per-layer conv bias beside spectral weights: the
+                # reference inits it on its 1x1 Conv1d skip, fan_in=width
+                fan_in = v.shape[-1]
+                out[name] = _u(key, v.shape, float(fan_in) ** -0.5, v.dtype)
+            else:
+                out[name] = v
+        return out
+
+    return visit(params, "")

@@ -117,7 +117,7 @@ def run_reference(epochs, seed=0):
     return best
 
 
-def run_ours(epochs, seed=0):
+def run_ours(epochs, seed=0, torch_init=False):
     import jax
     if os.environ.get("AB_OURS_TPU") != "1":
         jax.config.update("jax_platforms", "cpu")
@@ -136,8 +136,16 @@ def run_ours(epochs, seed=0):
                       step_size=STEP_SIZE, gamma=GAMMA,
                       decoder=train_ds.v_norm, log_interval=10)
     import jax as _jax
+    params = None
+    if torch_init:
+        # start from the reference's init distribution (torch kaiming-
+        # uniform Dense/conv + uniform bias), not flax's lecun-normal
+        from pde_policylearning_tpu.training import torch_reinit
+        params = jax.jit(model.init)(_jax.random.PRNGKey(seed),
+                                     x_train[:1])["params"]
+        params = torch_reinit(params, _jax.random.PRNGKey(seed + 1000))
     best_params, history = trainer.train((x_train, y_train),
-                                         (x_test, y_test),
+                                         (x_test, y_test), params=params,
                                          rng=_jax.random.PRNGKey(seed))
     return float(history["best_loss"])
 
@@ -150,11 +158,14 @@ def main():
     ap.add_argument("--split", choices=["tail", "interleaved"],
                     default="tail")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--torch-init", action="store_true",
+                    help="ours side starts from the torch default init "
+                         "distribution (training/torch_init.py)")
     args = ap.parse_args()
     global SPLIT
     SPLIT = args.split
     if args.side == "ours":
-        print(f"RESULT {run_ours(args.epochs, args.seed):.6f}")
+        print(f"RESULT {run_ours(args.epochs, args.seed, args.torch_init):.6f}")
         return
     if args.side == "ref":
         print(f"RESULT {run_reference(args.epochs, args.seed):.6f}")

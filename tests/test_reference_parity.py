@@ -480,3 +480,42 @@ def test_transformer_encoder_layer_parity(ref, attention_type):
         attention_type=attention_type, layer_norm=True, dropout=0.0)
     jy, _ = jmod.apply({"params": params}, jnp.asarray(x))
     assert rel_l2(np.asarray(jy), t2n(ty)) < 1e-10
+
+
+def test_torch_reinit_matches_torch_init_distribution(ref):
+    """training.torch_reinit must reproduce torch's default Linear/Conv
+    init: kernels/biases bounded by sqrt(1/fan_in) with uniform moments,
+    spectral weights untouched, deterministic in the rng."""
+    import torch
+
+    from pde_policylearning_tpu import models
+    from pde_policylearning_tpu.training import torch_reinit
+
+    m = models.FNO2dObserver(modes1=12, modes2=12, width=32)
+    p0 = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    p1 = torch_reinit(p0, jax.random.PRNGKey(7))
+    p2 = torch_reinit(p0, jax.random.PRNGKey(7))
+
+    fno = p1["fno2d"]
+    # projection fc1: fan_in = 32 -> bound sqrt(1/32); compare moments to
+    # an actual torch Linear draw
+    k = np.asarray(fno["projection"]["fc1"]["kernel"])
+    bound = 32 ** -0.5
+    assert np.abs(k).max() <= bound
+    tl = torch.nn.Linear(32, 256)
+    t_std = float(tl.weight.detach().std())
+    assert abs(k.std() - t_std) / t_std < 0.1
+    b = np.asarray(fno["projection"]["fc1"]["bias"])
+    assert np.abs(b).max() <= bound and np.abs(b).max() > 0
+
+    # spectral weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(fno["fno_blocks"]["convs"]["w0"]["mm2"]),
+        np.asarray(p0["fno2d"]["fno_blocks"]["convs"]["w0"]["mm2"]))
+    # per-layer conv bias (reference's Conv1d skip bias) re-drawn, bounded
+    cb = np.asarray(fno["fno_blocks"]["convs"]["bias"])
+    assert np.abs(cb).max() <= 32 ** -0.5 and np.abs(cb).max() > 0
+
+    # deterministic
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
