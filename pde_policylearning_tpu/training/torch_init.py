@@ -13,10 +13,10 @@ few epochs, the init distribution measurably shifts the result.
 ``kernel`` (ndim==2) and its sibling ``bias`` from the torch formula.
 Spectral weights (real-stacked ``(2, ...)`` leaves) are left untouched:
 their init already matches the reference's scaled complex ``normal_``
-(models/spectral_layers.py; fno_models.py:SpectralConv2d).  A ``bias``
-living beside spectral weights (the per-layer conv bias that the reference
-keeps on its 1x1 Conv1d skips, fno_models.py w0-w3) is re-drawn with
-fan_in = width.
+(models/spectral_layers.py; fno_models.py:SpectralConv2d).  The per-layer
+spectral-conv ``bias`` is re-drawn from the reference's
+``init_std * randn`` with init_std = 1/(in*out)
+(spectral_convolution.py:272) — near-zero, but faithfully so.
 """
 from __future__ import annotations
 
@@ -52,10 +52,14 @@ def torch_reinit(params, rng):
                 fan_in = kernel.shape[0]
                 out[name] = _u(key, v.shape, float(fan_in) ** -0.5, v.dtype)
             elif name == "bias" and hasattr(v, "ndim"):
-                # per-layer conv bias beside spectral weights: the
-                # reference inits it on its 1x1 Conv1d skip, fan_in=width
-                fan_in = v.shape[-1]
-                out[name] = _u(key, v.shape, float(fan_in) ** -0.5, v.dtype)
+                # per-layer spectral-conv bias: the reference draws it
+                # init_std * randn with init_std = 1/(in*out)
+                # (spectral_convolution.py:223-224,272) — ~1e-3 std, i.e.
+                # near-zero.  in==out==width for the trunk layers where
+                # this bias exists.
+                width = v.shape[-1]
+                out[name] = (jax.random.normal(key, v.shape, v.dtype)
+                             / float(width) ** 2)
             else:
                 out[name] = v
         return out

@@ -512,9 +512,10 @@ def test_torch_reinit_matches_torch_init_distribution(ref):
     np.testing.assert_array_equal(
         np.asarray(fno["fno_blocks"]["convs"]["w0"]["mm2"]),
         np.asarray(p0["fno2d"]["fno_blocks"]["convs"]["w0"]["mm2"]))
-    # per-layer conv bias (reference's Conv1d skip bias) re-drawn, bounded
+    # per-layer spectral-conv bias: init_std*randn with init_std=1/(in*out)
+    # (spectral_convolution.py:272) — near-zero scale, nonzero draw
     cb = np.asarray(fno["fno_blocks"]["convs"]["bias"])
-    assert np.abs(cb).max() <= 32 ** -0.5 and np.abs(cb).max() > 0
+    assert 0 < np.abs(cb).max() < 6.0 / 32 ** 2
 
     # deterministic
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
