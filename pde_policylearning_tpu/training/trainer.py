@@ -65,6 +65,7 @@ class Trainer:
                  mesh=None,
                  compute_dtype: Optional[Any] = None,
                  max_chunk_steps: int = 4000,
+                 loss_reduction: str = "mean",
                  verbose: bool = True):
         self.model = model
         self.n_epochs = n_epochs
@@ -77,6 +78,15 @@ class Trainer:
         self.gamma = gamma
         self.decoder = decoder
         self.loss_fn = loss_fn or partial(relative_l2_loss, decoder=decoder)
+        if loss_reduction not in ("mean", "sum"):
+            raise ValueError("loss_reduction must be 'mean' or 'sum'")
+        # 'sum' reproduces the reference's LpLoss(size_average=False)
+        # TRAIN gradient (utilities3.py rel: torch.sum over the batch).
+        # Adam is invariant to the global scale, but the coupled L2 decay
+        # is not: with mean reduction the wd:grad ratio is batch_size x
+        # stronger than the reference's.  Eval metrics stay per-sample
+        # means either way.
+        self.loss_reduction = loss_reduction
         self.regularizer = regularizer  # params -> scalar (the reference
         # Trainer's `regularizer` argument, trainer.py:67)
         self.log_interval = log_interval
@@ -185,6 +195,8 @@ class Trainer:
                 loss = loss + regularizer(p)
             return loss
 
+        loss_scale = float(bs) if self.loss_reduction == "sum" else 1.0
+
         def train_epoch(params, opt_state, key, x_train, y_train):
             perm = jax.random.permutation(key, n_train)[
                 :steps_per_epoch * bs].reshape(steps_per_epoch, bs)
@@ -193,9 +205,10 @@ class Trainer:
                 p, s = carry
                 xb = x_train[idx]
                 yb = y_train[idx]
-                loss, g = jax.value_and_grad(batch_loss)(p, xb, yb)
+                loss, g = jax.value_and_grad(
+                    lambda p: batch_loss(p, xb, yb) * loss_scale)(p)
                 updates, s = opt.update(g, s, p)
-                return (optax.apply_updates(p, updates), s), loss
+                return (optax.apply_updates(p, updates), s), loss / loss_scale
 
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), perm)

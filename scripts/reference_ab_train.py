@@ -134,7 +134,11 @@ def run_ours(epochs, seed=0, torch_init=False):
     trainer = Trainer(model, n_epochs=epochs, batch_size=BATCH,
                       learning_rate=LR, weight_decay=WD,
                       step_size=STEP_SIZE, gamma=GAMMA,
-                      decoder=train_ds.v_norm, log_interval=10)
+                      decoder=train_ds.v_norm, log_interval=10,
+                      # the reference trains on the batch-SUM rel-L2
+                      # (LpLoss(size_average=False)): same Adam step, but
+                      # a 1/batch-weaker coupled L2 decay than 'mean'
+                      loss_reduction="sum")
     import jax as _jax
     params = None
     if torch_init:

@@ -65,6 +65,32 @@ def test_trainer_loss_decreases(tiny_dataset):
     assert np.isfinite(hist["best_loss"])
 
 
+def test_trainer_sum_reduction_semantics(tiny_dataset):
+    """loss_reduction='sum' (the reference's LpLoss(size_average=False)
+    train gradient): with weight_decay=0 Adam is scale-invariant so the
+    trajectory matches 'mean' to ~eps; reported losses stay on the
+    per-sample-mean scale either way."""
+    ds = PDEDataset.from_folder(tiny_dataset, np.arange(40), x_range=8,
+                                y_range=8)
+    x, y = ds.arrays()
+    data = ((x[:32], y[:32]), (x[32:], y[32:]))
+    model = models.FNO2dObserver(modes1=3, modes2=3, width=8)
+
+    def run(reduction, wd):
+        tr = Trainer(model, n_epochs=4, batch_size=8, learning_rate=2e-3,
+                     weight_decay=wd, decoder=ds.v_norm, verbose=False,
+                     loss_reduction=reduction)
+        _, hist = tr.train(*data, rng=jax.random.PRNGKey(0))
+        return np.asarray(hist["train_loss"])
+
+    m0, s0 = run("mean", 0.0), run("sum", 0.0)
+    # Adam scale invariance at wd=0: same path, and losses reported on the
+    # per-sample-mean scale (a raw batch-sum would sit 8x higher)
+    np.testing.assert_allclose(s0, m0, rtol=2e-4)
+    with pytest.raises(ValueError):
+        Trainer(model, n_epochs=1, batch_size=8, loss_reduction="bogus")
+
+
 @pytest.mark.slow
 def test_trainer_bf16_accuracy_delta(tiny_dataset):
     """Mixed-precision (compute_dtype=bf16, master f32): must converge to
