@@ -207,10 +207,15 @@ def generate_channel_dataset(out_folder: str, n_steps: int,
         kw.update(env_kwargs or {})
         env = NSControlEnv(**kw)
     key = jax.random.PRNGKey(seed)
-    # whole rollout on device in one scan, single host fetch at the end
-    env.state, outs = cf.rollout(
-        env.grid, env.state, n_steps, detect_plane=detect_plane,
-        policy=policy, key=key, collect_fields=save_fields)
+    # whole rollout on device in one scan, single host fetch at the end.
+    # Unfused path: the collecting scan's carry copies push the fused
+    # boundary-pressure kernel over the 16 MB scoped-VMEM budget on v5e
+    # (observed AOT OOM at 18.19M); data generation is a one-shot batch
+    # job where the XLA path's ~2x step cost is immaterial.
+    with cf.force_unfused_poisson():
+        env.state, outs = cf.rollout(
+            env.grid, env.state, n_steps, detect_plane=detect_plane,
+            policy=policy, key=key, collect_fields=save_fields)
     outs = jax.device_get(outs)
     p_arr, v_arr, dpdx_all = outs[0], outs[1], outs[2]
     for i in range(n_steps):

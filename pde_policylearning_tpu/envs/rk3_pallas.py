@@ -299,6 +299,65 @@ def _solve_correct_kernel(n, F, Nz, C, dx, dz, refine_steps,
 # kernel C: boundary pressures (pressure RHS + 4-row spectral synthesis)
 # ---------------------------------------------------------------------------
 
+def _boundary_fwd_kernel(n, F, Nz, C, nu, dx, dz,
+                         U_ref, V_ref, W_ref, dPdx_ref,
+                         dyf_ref, dyg_ref, dym_ref,
+                         TR_ref, TI_ref,
+                         t_re_ref, t_im_ref):
+    """First half of `_boundary_kernel`: pressure RHS from the state plus
+    the forward (x,z) DFT -> (t_re, t_im), each (n, F).  Split from the
+    solve half so neither pallas_call stages all four Kronecker transform
+    matrices at once (the combined kernel's operand stack overruns the
+    16 MB scoped-VMEM budget on v5e inside a collecting scan)."""
+    sh = _shifts(Nz, C)
+    dyf = dyf_ref[...]
+    Fu, Fv, Fw = _rhs_terms(U_ref[...], V_ref[...], W_ref[...],
+                            dPdx_ref[0, 0], nu, dx, dz,
+                            dyf, dyg_ref[...], dym_ref[...], sh)
+    xm, xp, zm, zp = sh
+    rhs = ((xp(Fu[1:-1]) - Fu[1:-1]) / dx + (Fv[1:] - Fv[:-1]) / dyf
+           + (zp(Fw[1:-1]) - Fw[1:-1]) / dz)                 # (n, C)
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, precision=_HP,
+                           preferred_element_type=jnp.float32)
+
+    t_re_ref[...] = dot(rhs, TR_ref[...])
+    t_im_ref[...] = dot(rhs, TI_ref[...])
+
+
+def _boundary_solve_kernel(n, F,
+                           t_re_ref, t_im_ref,
+                           Ti4R_ref, Ti4I_ref,
+                           A4_ref, B_ref, denom_ref,
+                           Pinv00_ref, s00_ref,
+                           p_ref):
+    """Second half: eigen-solve of the transformed RHS on the 4 boundary
+    rows + inverse synthesis -> p_ref (2, C) = (p1, p2)."""
+    t_re = t_re_ref[...]
+    t_im = t_im_ref[...]
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, precision=_HP,
+                           preferred_element_type=jnp.float32)
+
+    y_re = dot(B_ref[...], t_re) / denom_ref[...]
+    y_im = dot(B_ref[...], t_im) / denom_ref[...]
+    P4_re = dot(A4_ref[...], y_re)                           # (4, F)
+    P4_im = dot(A4_ref[...], y_im)
+    s00 = s00_ref[...]                                       # (n, 1)
+    full00 = s00 * dot(Pinv00_ref[...], s00 * t_re[:, 0:1])  # (n, 1)
+    p00_4 = jnp.concatenate([full00[0:2], full00[n - 2:n]], axis=0)  # (4,1)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1) == 0
+    mask0 = jnp.where(col0, 1.0, 0.0)
+    P4_re = P4_re * (1.0 - mask0) + p00_4 * mask0
+    P4_im = P4_im * (1.0 - mask0)
+    P4 = dot(P4_re, Ti4R_ref[...]) - dot(P4_im, Ti4I_ref[...])  # (4, C)
+    p1 = -0.5 * (P4[0:1] + P4[1:2])
+    p2 = -0.5 * (P4[3:4] + P4[2:3])
+    p_ref[...] = jnp.concatenate([p1, p2], axis=0)
+
+
 def _boundary_kernel(n, F, Nz, C, nu, dx, dz,
                      U_ref, V_ref, W_ref, dPdx_ref,
                      dyf_ref, dyg_ref, dym_ref,
@@ -471,15 +530,20 @@ def boundary_pressures_k(grid, U, V, W, dPdx, interpret=False):
     dyf, dyg, dym = _row_consts(grid)
     rows = np.asarray([0, 1, n - 2, n - 1])
     A4 = grid.eig_A[rows].astype(f32)
-    kernel = partial(_boundary_kernel, n, F, Nz, C, grid.nu, grid.dx,
-                     grid.dz)
-    p = pl.pallas_call(
-        kernel, out_shape=jax.ShapeDtypeStruct((2, C), f32),
+    fwd = partial(_boundary_fwd_kernel, n, F, Nz, C, grid.nu, grid.dx,
+                  grid.dz)
+    t_re, t_im = pl.pallas_call(
+        fwd, out_shape=(jax.ShapeDtypeStruct((n, F), f32),
+                        jax.ShapeDtypeStruct((n, F), f32)),
         interpret=interpret)(
         U, V, W, jnp.reshape(dPdx.astype(f32), (1, 1)),
-        dyf, dyg, dym,
-        jnp.asarray(TR), jnp.asarray(TI), jnp.asarray(TiR),
-        jnp.asarray(TiI), A4, grid.eig_B.astype(f32), denom,
+        dyf, dyg, dym, jnp.asarray(TR), jnp.asarray(TI))
+    solve = partial(_boundary_solve_kernel, n, F)
+    p = pl.pallas_call(
+        solve, out_shape=jax.ShapeDtypeStruct((2, C), f32),
+        interpret=interpret)(
+        t_re, t_im, jnp.asarray(TiR), jnp.asarray(TiI),
+        A4, grid.eig_B.astype(f32), denom,
         grid.Pinv00_eq.astype(f32), grid.s00.astype(f32).reshape(n, 1))
     return p[0:1], p[1:2]
 
