@@ -202,6 +202,18 @@ class SimpleAttention(nn.Module):
             x, attn = causal_linear_attention(q, k, v)
         elif self.attention_type == "freq":
             x, attn = freq_attention(q, k, v)
+        elif self.attention_type in ("fourier", "integral", "local") and \
+                mask is None:
+            # The reference computes (QK^T/(sqrt(d)n))V with NO softmax
+            # between the matmuls (attention_layers.py:636-670), so
+            # associativity gives the identical result as Q(K^T V) — an
+            # O(N d^2) contraction instead of materializing the O(N^2)
+            # score tensor (the dominant HBM cost at N=2048 tokens).
+            dk = q.shape[-1]
+            n = q.shape[-2]
+            kv = jnp.einsum("bhnd,bhne->bhde", k, v)
+            x = jnp.einsum("bhnd,bhde->bhne", q, kv) / (math.sqrt(dk) * n)
+            attn = kv
         else:
             x, attn = attention(q, k, v, self.attention_type, mask=mask)
 

@@ -169,6 +169,14 @@ class Trainer:
             y_test = jax.device_put(y_test, data_sh)
             params = replicate(self.mesh, params)
             opt_state = replicate(self.mesh, opt_state)
+        else:
+            # Commit the dataset to the device ONCE.  Passing host numpy
+            # arrays into the chunked jit re-transfers them every chunk —
+            # on a remote-attached TPU that re-ships the whole dataset
+            # through the tunnel per chunk (~60 s/epoch at the
+            # base_transformer budget, dwarfing the 5 s of compute).
+            x_train, y_train, x_test, y_test = jax.device_put(
+                (x_train, y_train, x_test, y_test))
 
         model = self.model
         loss_fn = self.loss_fn
@@ -264,7 +272,10 @@ class Trainer:
             t0 = time.perf_counter()
             carry, (tr, te) = run_chunk(carry, keys, x_train, y_train,
                                         x_test, y_test)
-            tr, te = jax.device_get((tr, te))
+            # ONE device->host fetch per chunk (each fetch costs seconds
+            # on a remote-attached TPU): batch the metrics and the
+            # running best together.
+            tr, te, best = jax.device_get((tr, te, carry[3]))
             dt = time.perf_counter() - t0
             history["train_loss"].extend(np.asarray(tr).tolist())
             history["test_loss"].extend(np.asarray(te).tolist())
@@ -273,7 +284,7 @@ class Trainer:
             if self.verbose:
                 print(f"epoch {done}/{self.n_epochs}: "
                       f"train {tr[-1]:.5f} test {te[-1]:.5f} "
-                      f"best {float(carry[3]):.5f} "
+                      f"best {float(best):.5f} "
                       f"({dt / n * 1e3:.1f} ms/epoch)")
         best_params = carry[2]
         history["best_loss"] = float(carry[3])

@@ -18,6 +18,23 @@ def test_linear_attention_matches_quadratic_identity():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fourier_attention_fast_path_matches_quadratic():
+    """SimpleAttention's associativity rewrite of 'fourier' attention
+    returns the same numbers as the explicit (QK^T/(sqrt(d)n))V score
+    path (attention_layers.py:636-670 — no softmax between matmuls)."""
+    from pde_policylearning_tpu.models.transformer import SimpleAttention
+    att = SimpleAttention(n_head=2, d_model=16, attention_type="fourier",
+                          pos_dim=0, dropout=0.0, norm=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 24, 16))
+    params = att.init(jax.random.PRNGKey(4), x, x, x)
+    out_fast, _ = att.apply(params, x, x, x)
+    # an all-ones mask is a no-op in attention()'s 'fourier' branch but
+    # forces the explicit quadratic score path
+    out_quad, _ = att.apply(params, x, x, x, mask=jnp.ones((24, 24)))
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_quad),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_causal_linear_attention_is_causal():
     key = jax.random.PRNGKey(1)
     q, k, v = [jax.random.normal(kk, (1, 1, 12, 4))
