@@ -60,6 +60,26 @@ class ChannelGrid:
     DD_diag: jnp.ndarray  # (Ny-1,) tridiagonal Poisson operator (for refine)
     DD_lower: jnp.ndarray  # (Ny-2,)
     DD_upper: jnp.ndarray  # (Ny-2,)
+    # Bordered (Schur) form of the eigen-solve for the fused TPU kernels:
+    # n = Ny-1 = 129 rows pad every MXU contraction to 2 tiles of 128, so
+    # the kernels solve the leading m = n-1 = 128 block in its own
+    # eigenbasis (A1/B1/lam1: same diagonal symmetrization applied to
+    # DD[:m,:m]) and recover the last row through the per-wavenumber Schur
+    # scalar: with M11 = DD[:m,:m] + kk I,
+    #   y       = M11^-1 t[:m]
+    #   P_last  = (t[m] - DD[m,m-1] * y[m-1]) / schur_s(kk)
+    #   P[:m]   = y - schur_g(kk) * P_last
+    # where schur_g = DD[m-1,m] * M11^-1 e_{m-1}  (m, F) and
+    # schur_s = DD[m,m] + kk - DD[m,m-1]*schur_g[m-1]  (1, F) are
+    # precomputed per wavenumber column (F = Nx*(Nz//2+1), kxx-major kzz-
+    # minor, matching rk3_pallas._solve_consts).  schur_s ~ 0 at the
+    # Neumann (0,0) mode is guarded at construction; that column is
+    # overridden by the regularized Pinv00_eq solve in-kernel anyway.
+    eig_A1: jnp.ndarray    # (Ny-2, Ny-2)
+    eig_B1: jnp.ndarray    # (Ny-2, Ny-2)
+    eig_lam1: jnp.ndarray  # (Ny-2,)
+    schur_g: jnp.ndarray   # (Ny-2, F)
+    schur_s: jnp.ndarray   # (1, F)
     dx: float = struct.field(pytree_node=False)
     dz: float = struct.field(pytree_node=False)
     dt: float = struct.field(pytree_node=False)
@@ -152,6 +172,23 @@ def make_channel_grid(Nx: int = 32, Ny: int = 130, Nz: int = 32,
     s00 = 1.0 / np.sqrt(np.abs(np.diag(D00)))
     Pinv00_eq = np.linalg.inv((s00[:, None] * D00) * s00[None, :])
 
+    # bordered (Schur) factorization for the fused kernels (see
+    # ChannelGrid field docs): eigen-factorize the leading m = n-1 block
+    # and precompute the per-wavenumber Schur vectors in f64
+    m = n - 1
+    lam1, Q1 = np.linalg.eigh(T[:m, :m])
+    eig_A1 = Q1 / s[:m, None]
+    eig_B1 = Q1.T * s[None, :m]
+    Nzr = Nz // 2 + 1
+    kkF = (kxx[:, None] + kzz[None, :Nzr]).reshape(1, -1)     # (1, F)
+    denom1 = lam1[:, None] + kkF                              # (m, F)
+    schur_g = upper[m - 1] * (eig_A1 @ (eig_B1[:, m - 1:m] / denom1))
+    schur_s = (diag[m] + kkF) - lower[m - 1] * schur_g[m - 1:m]
+    # the full-operator Neumann null mode lives in the Schur scalar at
+    # kk = 0 (column 0): guard it (that column is solved by Pinv00_eq)
+    tiny = 1e-9 * np.max(np.abs(schur_s))
+    schur_s = np.where(np.abs(schur_s) < tiny, 1.0, schur_s)
+
     if refine_steps is None:
         refine_steps = 0 if dtype == jnp.float64 else 1
     as_dt = lambda a: jnp.asarray(a, dtype)
@@ -161,6 +198,8 @@ def make_channel_grid(Nx: int = 32, Ny: int = 130, Nz: int = 32,
         eig_A=as_dt(eig_A), eig_B=as_dt(eig_B), eig_lam=as_dt(lam),
         Pinv00_eq=as_dt(Pinv00_eq), s00=as_dt(s00),
         DD_diag=as_dt(diag), DD_lower=as_dt(lower), DD_upper=as_dt(upper),
+        eig_A1=as_dt(eig_A1), eig_B1=as_dt(eig_B1), eig_lam1=as_dt(lam1),
+        schur_g=as_dt(schur_g), schur_s=as_dt(schur_s),
         dx=float(dx), dz=float(dz), dt=float(dt), nu=float(nu),
         Nx=Nx, Ny=Ny, Nz=Nz, refine_steps=int(refine_steps),
     )

@@ -48,7 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .poisson_pallas import _kron_mats
 
-_HP = jax.lax.Precision.HIGHEST
+# Solve-matmul precision knob (import-time env var, perf experiments only).
+# 'highest' = full f32 (6-pass bf16 on the MXU) — the accuracy contract of
+# CLAUDE.md / channel_flow._SOLVE_PREC.  'high' = 3-pass bf16x3: ~2x MXU
+# throughput, ~1e-6 relative solve error before the refinement pass (vs
+# ~1e-7) — measured drift numbers in NOTES_r4 before changing the default.
+import os as _os
+
+_HP = {"highest": jax.lax.Precision.HIGHEST,
+       "high": jax.lax.Precision.HIGH}[
+    _os.environ.get("PDE_SOLVE_PRECISION", "highest")]
 
 # Test hook: run every pallas_call in interpret mode (CPU suite coverage
 # of the packed batched rollout path, tests/test_rk3_fused.py).
@@ -216,43 +225,64 @@ def _substage_kernel(Nz, C, nu, dx, dz, c_cur, c_prev, out_f,
 # kernel B: Poisson solve + pressure correction + BC (one substage, post)
 # ---------------------------------------------------------------------------
 
+def _bordered_eig_solve(dot, n, F2, A1_ref, B1_ref, denom1_ref,
+                        g_ref, ss_ref, dlm, Pinv00_ref, s00_ref,
+                        col, r):
+    """(DD + kk I)^-1 r via the 128-row bordered eigenbasis (see
+    ChannelGrid.schur_g docs): solve the leading m = n-1 block in its own
+    eigenbasis (MXU-exact 128x128 contractions — the full n = 129 basis
+    padded every contraction to 2 MXU tiles), recover the last row through
+    the precomputed per-wavenumber Schur scalar, and override the (0,0)
+    Neumann mode (columns 0 = re, F2/2 = im) with the regularized
+    equilibrated Pinv00 solve.  r, return: (n, F2) with re|im columns."""
+    m = n - 1
+    F = F2 // 2
+    y = dot(A1_ref[...], dot(B1_ref[...], r[:m]) / denom1_ref[...])
+    P_last = (r[m:] - dlm * y[m - 1:m]) / ss_ref[...]
+    P1 = y - g_ref[...] * P_last
+    P = jnp.concatenate([P1, P_last], axis=0)
+    # (0,0)-mode columns via lane-masked sums (layout-safe column gather)
+    rc_re = jnp.sum(jnp.where(col == 0, r, 0.0), axis=1, keepdims=True)
+    rc_im = jnp.sum(jnp.where(col == F, r, 0.0), axis=1, keepdims=True)
+    rc = jnp.concatenate([rc_re, rc_im], axis=1)              # (n, 2)
+    s00 = s00_ref[...]
+    p00 = s00 * dot(Pinv00_ref[...], s00 * rc)                # (n, 2)
+    P = jnp.where(col == 0, p00[:, 0:1], P)
+    P = jnp.where(col == F, p00[:, 1:2], P)
+    return P
+
+
 def _solve_correct_kernel(n, F, Nz, C, dx, dz, refine_steps,
                           Y_ref, U_ref, V_ref, W_ref,
                           op1_ref, op2_ref,
-                          TR_ref, TI_ref, TiR_ref, TiI_ref,
-                          A_ref, B_ref, denom_ref, kk_ref,
+                          T2_ref, Ti2_ref,
+                          A1_ref, B1_ref, denom1_ref, g_ref, ss_ref,
+                          kk_ref,
                           Pinv00_ref, s00_ref,
-                          dd_ref, dl_ref, du_ref, dd0h_ref, dym_ref,
+                          dd_ref, dl_ref, du_ref, dd0h_ref, dlm_ref,
+                          dym_ref,
                           Un_ref, Vn_ref, Wn_ref):
     """Poisson solve of Y=(div) then U/V/W -= grad p on interior rows,
-    then BC.  The solve body is poisson_pallas._kernel's math verbatim."""
+    then BC.  re/im spectra ride side-by-side in one (n, 2F) array so
+    every matmul runs once at double width (fewer MXU N-tiles wasted to
+    padding: 2x(544->640) becomes 1088->1152)."""
 
     def dot(a, b):
         return jax.lax.dot(a, b, precision=_HP,
                            preferred_element_type=jnp.float32)
 
+    F2 = 2 * F
     Y = Y_ref[...]
-    t_re = dot(Y, TR_ref[...])
-    t_im = dot(Y, TI_ref[...])
+    t = dot(Y, T2_ref[...])                                   # (n, 2F)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, F2), 1)
+    dlm = dlm_ref[0, 0]
 
-    A = A_ref[...]
-    B = B_ref[...]
-    denom = denom_ref[...]
-    Pinv00 = Pinv00_ref[...]
-    s00 = s00_ref[...]
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1) == 0
-    mask0 = jnp.where(col0, 1.0, 0.0)
+    def eig_solve(r):
+        return _bordered_eig_solve(dot, n, F2, A1_ref, B1_ref, denom1_ref,
+                                   g_ref, ss_ref, dlm, Pinv00_ref, s00_ref,
+                                   col, r)
 
-    def eig_solve(r_re, r_im):
-        P_re = dot(A, dot(B, r_re) / denom)
-        P_im = dot(A, dot(B, r_im) / denom)
-        p00_re = s00 * dot(Pinv00, s00 * r_re[:, 0:1])
-        p00_im = s00 * dot(Pinv00, s00 * r_im[:, 0:1])
-        P_re = P_re * (1.0 - mask0) + p00_re * mask0
-        P_im = P_im * (1.0 - mask0) + p00_im * mask0
-        return P_re, P_im
-
-    P_re, P_im = eig_solve(t_re, t_im)
+    P = eig_solve(t)
 
     if refine_steps:
         kk = kk_ref[...]
@@ -260,9 +290,10 @@ def _solve_correct_kernel(n, F, Nz, C, dx, dz, refine_steps,
         dl = dl_ref[...]
         du = du_ref[...]
         row0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == 0
+        mask0 = jnp.where((col == 0) | (col == F), 1.0, 0.0)
         m00 = jnp.where(row0, 1.0, 0.0) * mask0
         dd0_half = dd0h_ref[0, 0]
-        zrow = jnp.zeros((1, F), jnp.float32)
+        zrow = jnp.zeros((1, F2), jnp.float32)
 
         def tridiag(P):
             app = (dd + kk) * P
@@ -271,13 +302,10 @@ def _solve_correct_kernel(n, F, Nz, C, dx, dz, refine_steps,
             return app
 
         for _ in range(refine_steps):
-            r_re = t_re - tridiag(P_re) - m00 * (dd0_half * P_re)
-            r_im = t_im - tridiag(P_im) - m00 * (dd0_half * P_im)
-            c_re, c_im = eig_solve(r_re, r_im)
-            P_re = P_re + c_re
-            P_im = P_im + c_im
+            r = t - tridiag(P) - m00 * (dd0_half * P)
+            P = P + eig_solve(r)
 
-    p = dot(P_re, TiR_ref[...]) - dot(P_im, TiI_ref[...])   # (n, C)
+    p = dot(P, Ti2_ref[...])                                  # (n, C)
 
     sh = _shifts(Nz, C)
     xm, _, zm, _ = sh
@@ -302,13 +330,13 @@ def _solve_correct_kernel(n, F, Nz, C, dx, dz, refine_steps,
 def _boundary_fwd_kernel(n, F, Nz, C, nu, dx, dz,
                          U_ref, V_ref, W_ref, dPdx_ref,
                          dyf_ref, dyg_ref, dym_ref,
-                         TR_ref, TI_ref,
-                         t_re_ref, t_im_ref):
+                         T2_ref,
+                         t_ref):
     """First half of `_boundary_kernel`: pressure RHS from the state plus
-    the forward (x,z) DFT -> (t_re, t_im), each (n, F).  Split from the
-    solve half so neither pallas_call stages all four Kronecker transform
-    matrices at once (the combined kernel's operand stack overruns the
-    16 MB scoped-VMEM budget on v5e inside a collecting scan)."""
+    the forward (x,z) DFT -> t (n, 2F) re|im.  Split from the solve half
+    so neither pallas_call stages both Kronecker transform matrices at
+    once (the combined kernel's operand stack overruns the 16 MB scoped-
+    VMEM budget on v5e inside a collecting scan)."""
     sh = _shifts(Nz, C)
     dyf = dyf_ref[...]
     Fu, Fv, Fw = _rhs_terms(U_ref[...], V_ref[...], W_ref[...],
@@ -322,52 +350,69 @@ def _boundary_fwd_kernel(n, F, Nz, C, nu, dx, dz,
         return jax.lax.dot(a, b, precision=_HP,
                            preferred_element_type=jnp.float32)
 
-    t_re_ref[...] = dot(rhs, TR_ref[...])
-    t_im_ref[...] = dot(rhs, TI_ref[...])
+    t_ref[...] = dot(rhs, T2_ref[...])
+
+
+def _boundary_solve_body(dot, n, F, t,
+                         Ti24_ref, A13_ref, B1_ref, denom1_ref,
+                         g3_ref, ss_ref, dlm,
+                         Pinv00_ref, s00_ref):
+    """Bordered eigen-solve of the transformed RHS t (n, 2F) restricted to
+    the 4 boundary rows [0, 1, n-2, n-1] + inverse synthesis -> (2, C).
+    Row n-2 = m-1 comes from the block solve (A13 = A1 rows [0,1,m-1]);
+    row n-1 is the Schur-recovered last row."""
+    m = n - 1
+    F2 = 2 * F
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, F2), 1)
+    u = dot(B1_ref[...], t[:m]) / denom1_ref[...]            # (m, 2F)
+    y3 = dot(A13_ref[...], u)                                # (3, 2F)
+    P_last = (t[m:] - dlm * y3[2:3]) / ss_ref[...]           # (1, 2F)
+    P13 = y3 - g3_ref[...] * P_last                          # (3, 2F)
+    P4 = jnp.concatenate([P13, P_last], axis=0)  # rows 0,1,n-2,n-1
+    # regularized (0,0) mode (real column 0; imag column F is zeroed):
+    # the row gather is done with slices (Mosaic-safe): rows [0,1] and
+    # [n-2, n-1] of the full (n, 1) solve
+    rc0 = jnp.sum(jnp.where(col == 0, t, 0.0), axis=1, keepdims=True)
+    s00 = s00_ref[...]                                       # (n, 1)
+    full00 = s00 * dot(Pinv00_ref[...], s00 * rc0)           # (n, 1)
+    p00_4 = jnp.concatenate([full00[0:2], full00[n - 2:n]], axis=0)  # (4,1)
+    P4 = jnp.where(col == 0, p00_4, P4)
+    P4 = jnp.where(col == F, 0.0, P4)
+    P4 = dot(P4, Ti24_ref[...])                              # (4, C)
+    p1 = -0.5 * (P4[0:1] + P4[1:2])
+    p2 = -0.5 * (P4[3:4] + P4[2:3])
+    return jnp.concatenate([p1, p2], axis=0)
 
 
 def _boundary_solve_kernel(n, F,
-                           t_re_ref, t_im_ref,
-                           Ti4R_ref, Ti4I_ref,
-                           A4_ref, B_ref, denom_ref,
+                           t_ref, Ti24_ref,
+                           A13_ref, B1_ref, denom1_ref,
+                           g3_ref, ss_ref, dlm_ref,
                            Pinv00_ref, s00_ref,
                            p_ref):
-    """Second half: eigen-solve of the transformed RHS on the 4 boundary
-    rows + inverse synthesis -> p_ref (2, C) = (p1, p2)."""
-    t_re = t_re_ref[...]
-    t_im = t_im_ref[...]
+    """Second half: bordered eigen-solve on the 4 boundary rows + inverse
+    synthesis -> p_ref (2, C) = (p1, p2)."""
 
     def dot(a, b):
         return jax.lax.dot(a, b, precision=_HP,
                            preferred_element_type=jnp.float32)
 
-    y_re = dot(B_ref[...], t_re) / denom_ref[...]
-    y_im = dot(B_ref[...], t_im) / denom_ref[...]
-    P4_re = dot(A4_ref[...], y_re)                           # (4, F)
-    P4_im = dot(A4_ref[...], y_im)
-    s00 = s00_ref[...]                                       # (n, 1)
-    full00 = s00 * dot(Pinv00_ref[...], s00 * t_re[:, 0:1])  # (n, 1)
-    p00_4 = jnp.concatenate([full00[0:2], full00[n - 2:n]], axis=0)  # (4,1)
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1) == 0
-    mask0 = jnp.where(col0, 1.0, 0.0)
-    P4_re = P4_re * (1.0 - mask0) + p00_4 * mask0
-    P4_im = P4_im * (1.0 - mask0)
-    P4 = dot(P4_re, Ti4R_ref[...]) - dot(P4_im, Ti4I_ref[...])  # (4, C)
-    p1 = -0.5 * (P4[0:1] + P4[1:2])
-    p2 = -0.5 * (P4[3:4] + P4[2:3])
-    p_ref[...] = jnp.concatenate([p1, p2], axis=0)
+    p_ref[...] = _boundary_solve_body(
+        dot, n, F, t_ref[...], Ti24_ref, A13_ref, B1_ref, denom1_ref,
+        g3_ref, ss_ref, dlm_ref[0, 0], Pinv00_ref, s00_ref)
 
 
 def _boundary_kernel(n, F, Nz, C, nu, dx, dz,
                      U_ref, V_ref, W_ref, dPdx_ref,
                      dyf_ref, dyg_ref, dym_ref,
-                     TR_ref, TI_ref, Ti4R_ref, Ti4I_ref,
-                     A4_ref, B_ref, denom_ref,
+                     T2_ref, Ti24_ref,
+                     A13_ref, B1_ref, denom1_ref,
+                     g3_ref, ss_ref, dlm_ref,
                      Pinv00_ref, s00_ref,
                      p_ref):
     """p_ref (2, C): rows = (p1, p2) = -0.5*(P rows 0+1), -0.5*(rows
     n-1 + n-2) — channel_flow.boundary_pressures' fast path with the
-    4-row eigenvector slice baked into A4/Ti4."""
+    4-row eigenvector slice baked into A13/Ti24."""
     sh = _shifts(Nz, C)
     dyf = dyf_ref[...]
     Fu, Fv, Fw = _rhs_terms(U_ref[...], V_ref[...], W_ref[...],
@@ -381,26 +426,10 @@ def _boundary_kernel(n, F, Nz, C, nu, dx, dz,
         return jax.lax.dot(a, b, precision=_HP,
                            preferred_element_type=jnp.float32)
 
-    t_re = dot(rhs, TR_ref[...])                             # (n, F)
-    t_im = dot(rhs, TI_ref[...])
-    y_re = dot(B_ref[...], t_re) / denom_ref[...]
-    y_im = dot(B_ref[...], t_im) / denom_ref[...]
-    P4_re = dot(A4_ref[...], y_re)                           # (4, F)
-    P4_im = dot(A4_ref[...], y_im)
-    # regularized (0,0) mode on the 4 boundary rows (column 0, real);
-    # the row gather is done with slices (Mosaic-safe): rows [0,1] and
-    # [n-2, n-1] of the full (n, 1) solve
-    s00 = s00_ref[...]                                       # (n, 1)
-    full00 = s00 * dot(Pinv00_ref[...], s00 * t_re[:, 0:1])  # (n, 1)
-    p00_4 = jnp.concatenate([full00[0:2], full00[n - 2:n]], axis=0)  # (4,1)
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1) == 0
-    mask0 = jnp.where(col0, 1.0, 0.0)
-    P4_re = P4_re * (1.0 - mask0) + p00_4 * mask0
-    P4_im = P4_im * (1.0 - mask0)
-    P4 = dot(P4_re, Ti4R_ref[...]) - dot(P4_im, Ti4I_ref[...])  # (4, C)
-    p1 = -0.5 * (P4[0:1] + P4[1:2])
-    p2 = -0.5 * (P4[3:4] + P4[2:3])
-    p_ref[...] = jnp.concatenate([p1, p2], axis=0)
+    t = dot(rhs, T2_ref[...])                                # (n, 2F)
+    p_ref[...] = _boundary_solve_body(
+        dot, n, F, t, Ti24_ref, A13_ref, B1_ref, denom1_ref,
+        g3_ref, ss_ref, dlm_ref[0, 0], Pinv00_ref, s00_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -420,6 +449,9 @@ def _row_consts(grid):
 
 
 def _solve_consts(grid):
+    """Solve-kernel constants in the fused re|im layout: every (*, F)
+    per-wavenumber vector is doubled to (*, 2F) so one matmul/elementwise
+    pass covers both spectrum components."""
     f32 = jnp.float32
     Nzr = grid.Nz // 2 + 1
     F = grid.Nx * Nzr
@@ -427,14 +459,30 @@ def _solve_consts(grid):
     kxx = grid.kxx.astype(f32)
     kzz = grid.kzz.astype(f32)[:Nzr]
     kk = (kxx[:, None] + kzz[None, :]).reshape(1, F)
-    denom = grid.eig_lam.astype(f32)[:, None] + kk
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    denom1 = grid.eig_lam1.astype(f32)[:, None] + kk        # (n-1, F)
+    denom1 = jnp.where(jnp.abs(denom1) < 1e-12, 1.0, denom1)
+    double = lambda a: jnp.concatenate([a, a], axis=1)
+    kk2 = double(kk)
+    denom1_2 = double(denom1)
+    g2 = double(grid.schur_g.astype(f32))
+    ss2 = double(grid.schur_s.astype(f32).reshape(1, F))
+    dlm = grid.DD_lower.astype(f32)[n - 2:].reshape(1, 1)
     dl = jnp.concatenate([jnp.zeros((1,), f32),
                           grid.DD_lower.astype(f32)]).reshape(n, 1)
     du = jnp.concatenate([grid.DD_upper.astype(f32),
                           jnp.zeros((1,), f32)]).reshape(n, 1)
     dd0h = (0.5 * grid.DD_diag[:1].astype(f32)).reshape(1, 1)
-    return kk, denom, dl, du, dd0h
+    return kk2, denom1_2, g2, ss2, dlm, dl, du, dd0h
+
+
+def _kron_mats2(Nx, Nz):
+    """Forward/inverse Kronecker DFT matrices in the fused re|im layout:
+    T2 = [TR | TI] (C, 2F), Ti2 = [TiR ; -TiI] (2F, C), so the forward
+    transform and the real-part inverse synthesis are ONE matmul each."""
+    TR, TI, TiR, TiI = _kron_mats(Nx, Nz)
+    T2 = np.concatenate([np.asarray(TR), np.asarray(TI)], axis=1)
+    Ti2 = np.concatenate([np.asarray(TiR), -np.asarray(TiI)], axis=0)
+    return T2, Ti2
 
 
 _RK3_STAGES = ((8 / 15, 0.0), (5 / 12, 1 / 4), (3 / 4, 1 / 4))
@@ -470,8 +518,8 @@ def _solve_correct_call(grid, div, U, V, W, op1, op2, interpret=False):
     Nzr = Nz // 2 + 1
     F = Nx * Nzr
     f32 = jnp.float32
-    TR, TI, TiR, TiI = _kron_mats(Nx, Nz)
-    kk, denom, dl, du, dd0h = _solve_consts(grid)
+    T2, Ti2 = _kron_mats2(Nx, Nz)
+    kk2, denom1_2, g2, ss2, dlm, dl, du, dd0h = _solve_consts(grid)
     _, _, dym = _row_consts(grid)
     kernel = partial(_solve_correct_kernel, n, F, Nz, C, grid.dx, grid.dz,
                      grid.refine_steps)
@@ -480,11 +528,11 @@ def _solve_correct_call(grid, div, U, V, W, op1, op2, interpret=False):
                                              shp(Ny + 1)),
                           interpret=interpret)(
         div, U, V, W, op1, op2,
-        jnp.asarray(TR), jnp.asarray(TI), jnp.asarray(TiR),
-        jnp.asarray(TiI), grid.eig_A.astype(f32), grid.eig_B.astype(f32),
-        denom, kk, grid.Pinv00_eq.astype(f32),
+        jnp.asarray(T2), jnp.asarray(Ti2),
+        grid.eig_A1.astype(f32), grid.eig_B1.astype(f32),
+        denom1_2, g2, ss2, kk2, grid.Pinv00_eq.astype(f32),
         grid.s00.astype(f32).reshape(n, 1),
-        grid.DD_diag.astype(f32).reshape(n, 1), dl, du, dd0h, dym)
+        grid.DD_diag.astype(f32).reshape(n, 1), dl, du, dd0h, dlm, dym)
 
 
 def rk3_step_k(grid, U, V, W, dPdx, meanU0, op1, op2, interpret=False):
@@ -516,6 +564,17 @@ def rk3_step_k(grid, U, V, W, dPdx, meanU0, op1, op2, interpret=False):
     return U, V, W, dPdx_out
 
 
+def _boundary_consts(grid):
+    """(A13, g3_2): the 3 block-solve rows [0, 1, m-1] of the bordered
+    eigenbasis / Schur coupling needed for boundary synthesis."""
+    f32 = jnp.float32
+    m = grid.Ny - 2
+    rows = np.asarray([0, 1, m - 1])
+    A13 = grid.eig_A1[rows].astype(f32)
+    g3 = grid.schur_g[rows].astype(f32)
+    return A13, jnp.concatenate([g3, g3], axis=1)
+
+
 def boundary_pressures_k(grid, U, V, W, dPdx, interpret=False):
     """(p1, p2) rows (each (1, C)) from kernel-layout state."""
     interpret = interpret or INTERPRET
@@ -525,25 +584,23 @@ def boundary_pressures_k(grid, U, V, W, dPdx, interpret=False):
     Nzr = Nz // 2 + 1
     F = Nx * Nzr
     f32 = jnp.float32
-    TR, TI, TiR, TiI = _kron_mats(Nx, Nz)
-    kk, denom, _, _, _ = _solve_consts(grid)
+    T2, Ti2 = _kron_mats2(Nx, Nz)
+    _, denom1_2, _, ss2, dlm, _, _, _ = _solve_consts(grid)
+    A13, g3_2 = _boundary_consts(grid)
     dyf, dyg, dym = _row_consts(grid)
-    rows = np.asarray([0, 1, n - 2, n - 1])
-    A4 = grid.eig_A[rows].astype(f32)
     fwd = partial(_boundary_fwd_kernel, n, F, Nz, C, grid.nu, grid.dx,
                   grid.dz)
-    t_re, t_im = pl.pallas_call(
-        fwd, out_shape=(jax.ShapeDtypeStruct((n, F), f32),
-                        jax.ShapeDtypeStruct((n, F), f32)),
+    t = pl.pallas_call(
+        fwd, out_shape=jax.ShapeDtypeStruct((n, 2 * F), f32),
         interpret=interpret)(
         U, V, W, jnp.reshape(dPdx.astype(f32), (1, 1)),
-        dyf, dyg, dym, jnp.asarray(TR), jnp.asarray(TI))
+        dyf, dyg, dym, jnp.asarray(T2))
     solve = partial(_boundary_solve_kernel, n, F)
     p = pl.pallas_call(
         solve, out_shape=jax.ShapeDtypeStruct((2, C), f32),
         interpret=interpret)(
-        t_re, t_im, jnp.asarray(TiR), jnp.asarray(TiI),
-        A4, grid.eig_B.astype(f32), denom,
+        t, jnp.asarray(Ti2), A13, grid.eig_B1.astype(f32), denom1_2,
+        g3_2, ss2, dlm,
         grid.Pinv00_eq.astype(f32), grid.s00.astype(f32).reshape(n, 1))
     return p[0:1], p[1:2]
 
@@ -844,23 +901,26 @@ def _solve_correct_call_b(grid, B, div, U, V, W, op1, op2,
     Nzr = Nz // 2 + 1
     F = Nx * Nzr
     f32 = jnp.float32
-    TR, TI, TiR, TiI = _kron_mats(Nx, Nz)
-    kk, denom, dl, du, dd0h = _solve_consts(grid)
+    m = n - 1
+    T2, Ti2 = _kron_mats2(Nx, Nz)
+    kk2, denom1_2, g2, ss2, dlm, dl, du, dd0h = _solve_consts(grid)
     _, _, dym = _row_consts(grid)
     kernel = partial(_solve_correct_kernel, n, F, Nz, C, grid.dx, grid.dz,
                      grid.refine_steps)
     shp = lambda r: jax.ShapeDtypeStruct((r, B * C), f32)
+    F2 = 2 * F
     in_specs = [
         _bspec(n, C),                                          # div
         _bspec(Ny + 1, C), _bspec(Ny, C), _bspec(Ny + 1, C),   # U V W
         _bspec(1, C), _bspec(1, C),                            # op1 op2
-        _shared((C, F)), _shared((C, F)),                      # TR TI
-        _shared((F, C)), _shared((F, C)),                      # TiR TiI
-        _shared((n, n)), _shared((n, n)),                      # A B
-        _shared((n, F)), _shared((1, F)),                      # denom kk
+        _shared((C, F2)), _shared((F2, C)),                    # T2 Ti2
+        _shared((m, m)), _shared((m, m)),                      # A1 B1
+        _shared((m, F2)), _shared((m, F2)),                    # denom1 g
+        _shared((1, F2)), _shared((1, F2)),                    # ss kk
         _shared((n, n)), _shared((n, 1)),                      # Pinv00 s00
         _shared((n, 1)), _shared((n, 1)), _shared((n, 1)),     # dd dl du
-        _shared((1, 1)), _shared((n - 1, 1)),                  # dd0h dym
+        _shared((1, 1)), _shared((1, 1)),                      # dd0h dlm
+        _shared((n - 1, 1)),                                   # dym
     ]
     return pl.pallas_call(kernel, out_shape=(shp(Ny + 1), shp(Ny),
                                              shp(Ny + 1)),
@@ -870,11 +930,11 @@ def _solve_correct_call_b(grid, B, div, U, V, W, op1, op2,
                           compiler_params=_BATCH_PARAMS,
                           interpret=interpret)(
         div, U, V, W, op1, op2,
-        jnp.asarray(TR), jnp.asarray(TI), jnp.asarray(TiR),
-        jnp.asarray(TiI), grid.eig_A.astype(f32), grid.eig_B.astype(f32),
-        denom, kk, grid.Pinv00_eq.astype(f32),
+        jnp.asarray(T2), jnp.asarray(Ti2),
+        grid.eig_A1.astype(f32), grid.eig_B1.astype(f32),
+        denom1_2, g2, ss2, kk2, grid.Pinv00_eq.astype(f32),
         grid.s00.astype(f32).reshape(n, 1),
-        grid.DD_diag.astype(f32).reshape(n, 1), dl, du, dd0h, dym)
+        grid.DD_diag.astype(f32).reshape(n, 1), dl, du, dd0h, dlm, dym)
 
 
 def rk3_step_kb(grid, B, U, V, W, dPdx, meanU0, op1, op2, interpret=False):
@@ -919,21 +979,22 @@ def boundary_pressures_kb(grid, B, U, V, W, dPdx, interpret=False):
     Nzr = Nz // 2 + 1
     F = Nx * Nzr
     f32 = jnp.float32
-    TR, TI, TiR, TiI = _kron_mats(Nx, Nz)
-    kk, denom, _, _, _ = _solve_consts(grid)
+    m = n - 1
+    T2, Ti2 = _kron_mats2(Nx, Nz)
+    _, denom1_2, _, ss2, dlm, _, _, _ = _solve_consts(grid)
+    A13, g3_2 = _boundary_consts(grid)
     dyf, dyg, dym = _row_consts(grid)
-    rows = np.asarray([0, 1, n - 2, n - 1])
-    A4 = grid.eig_A[rows].astype(f32)
     kernel = partial(_boundary_kernel, n, F, Nz, C, grid.nu, grid.dx,
                      grid.dz)
+    F2 = 2 * F
     in_specs = [
         _bspec(Ny + 1, C), _bspec(Ny, C), _bspec(Ny + 1, C),
         _bspec(1, C),                                          # dPdx row
         _shared((Ny - 1, 1)), _shared((Ny, 1)), _shared((Ny - 2, 1)),
-        _shared((C, F)), _shared((C, F)),
-        _shared((F, C)), _shared((F, C)),
-        _shared((4, n)), _shared((n, n)), _shared((n, F)),
-        _shared((n, n)), _shared((n, 1)),
+        _shared((C, F2)), _shared((F2, C)),                    # T2 Ti2
+        _shared((3, m)), _shared((m, m)), _shared((m, F2)),    # A13 B1 den
+        _shared((3, F2)), _shared((1, F2)), _shared((1, 1)),   # g3 ss dlm
+        _shared((n, n)), _shared((n, 1)),                      # Pinv00 s00
     ]
     p = pl.pallas_call(
         kernel, out_shape=jax.ShapeDtypeStruct((2, B * C), f32),
@@ -942,7 +1003,7 @@ def boundary_pressures_kb(grid, B, U, V, W, dPdx, interpret=False):
         interpret=interpret)(
         U, V, W, jnp.repeat(dPdx.astype(f32), C)[None, :],
         dyf, dyg, dym,
-        jnp.asarray(TR), jnp.asarray(TI), jnp.asarray(TiR),
-        jnp.asarray(TiI), A4, grid.eig_B.astype(f32), denom,
+        jnp.asarray(T2), jnp.asarray(Ti2),
+        A13, grid.eig_B1.astype(f32), denom1_2, g3_2, ss2, dlm,
         grid.Pinv00_eq.astype(f32), grid.s00.astype(f32).reshape(n, 1))
     return p[0:1], p[1:2]
