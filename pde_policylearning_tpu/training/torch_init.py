@@ -30,10 +30,16 @@ def _u(key, shape, bound, dtype):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
-def torch_reinit(params, rng):
+def torch_reinit(params, rng, exclude=()):
     """Return a copy of `params` with Dense kernels/biases re-drawn from
     the torch default init (see module docstring).  Deterministic in
-    (params structure, rng)."""
+    (params structure, rng).
+
+    `exclude`: leaf-path substrings to leave untouched — for params whose
+    reference init is NOT the torch default and whose flax init already
+    matches it (e.g. RNO2d's input-projection kernel, drawn normal(std=1)
+    on both sides, rno.py:311-312; its bias keeps the torch default and is
+    still re-drawn)."""
 
     def visit(tree, path):
         out = {}
@@ -45,6 +51,8 @@ def torch_reinit(params, rng):
             key = jax.random.fold_in(rng, zlib.crc32(sub.encode()))
             if isinstance(v, dict):
                 out[name] = visit(v, sub)
+            elif any(e in sub for e in exclude):
+                out[name] = v
             elif dense and name == "kernel":
                 fan_in = v.shape[0]
                 out[name] = _u(key, v.shape, float(fan_in) ** -0.5, v.dtype)

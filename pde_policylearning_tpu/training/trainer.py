@@ -66,6 +66,7 @@ class Trainer:
                  compute_dtype: Optional[Any] = None,
                  max_chunk_steps: int = 4000,
                  loss_reduction: str = "mean",
+                 train_model_kwargs: Optional[dict] = None,
                  verbose: bool = True):
         self.model = model
         self.n_epochs = n_epochs
@@ -91,6 +92,12 @@ class Trainer:
         # Trainer's `regularizer` argument, trainer.py:67)
         self.log_interval = log_interval
         self.model_kwargs = model_kwargs or {}
+        # Extra model kwargs applied ONLY to training forward passes (the
+        # reference's model.train()/.eval() mode split): e.g.
+        # {"deterministic": False} activates flax Dropout layers during
+        # training while eval stays deterministic.  When set, a per-step
+        # dropout PRNG is threaded through the epoch scan.
+        self.train_model_kwargs = train_model_kwargs
         self.patcher = patcher  # MultigridPatching2D (trainer.py:96-121
         # patch -> forward -> unpatch flow in the reference Trainer)
         self.mesh = mesh  # data-parallel mesh: datasets sharded over
@@ -187,16 +194,23 @@ class Trainer:
 
         compute_dtype = self.compute_dtype
 
-        def batch_loss(p, xb, yb):
+        train_mkw = dict(mkw, **self.train_model_kwargs) \
+            if self.train_model_kwargs else None
+
+        def batch_loss(p, xb, yb, dropout_key=None):
+            # train passes get train_model_kwargs + a dropout rng; eval
+            # passes (dropout_key None) stay deterministic
+            kw = mkw if dropout_key is None else train_mkw
+            rngs = None if dropout_key is None else {"dropout": dropout_key}
             if compute_dtype is not None:
                 p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
                 xb = xb.astype(compute_dtype)
             if patcher is not None:
                 xb, yb_p = patcher.patch(xb, yb)
-                pred = model.apply({"params": p}, xb, **mkw)
+                pred = model.apply({"params": p}, xb, rngs=rngs, **kw)
                 pred, yb = patcher.unpatch(pred, yb)
             else:
-                pred = model.apply({"params": p}, xb, **mkw)
+                pred = model.apply({"params": p}, xb, rngs=rngs, **kw)
             pred = pred.astype(yb.dtype)
             loss = loss_fn(pred.reshape(yb.shape), yb)
             if regularizer is not None:
@@ -205,28 +219,44 @@ class Trainer:
 
         loss_scale = float(bs) if self.loss_reduction == "sum" else 1.0
 
-        def train_epoch(params, opt_state, key, x_train, y_train):
-            perm = jax.random.permutation(key, n_train)[
-                :steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+        use_dropout = self.train_model_kwargs is not None
 
-            def step(carry, idx):
+        def train_epoch(params, opt_state, key, x_train, y_train):
+            # only fork a dropout stream when needed, so the permutation
+            # stream (and thus recorded no-dropout runs) stays unchanged
+            perm_key, drop_key = (jax.random.split(key) if use_dropout
+                                  else (key, key))
+            perm = jax.random.permutation(perm_key, n_train)[
+                :steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+            step_keys = jax.random.split(drop_key, steps_per_epoch)
+
+            def step(carry, xs):
+                idx, dkey = xs
                 p, s = carry
                 xb = x_train[idx]
                 yb = y_train[idx]
                 loss, g = jax.value_and_grad(
-                    lambda p: batch_loss(p, xb, yb) * loss_scale)(p)
+                    lambda p: batch_loss(
+                        p, xb, yb,
+                        dropout_key=dkey if use_dropout else None)
+                    * loss_scale)(p)
                 updates, s = opt.update(g, s, p)
                 return (optax.apply_updates(p, updates), s), loss / loss_scale
 
             (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), perm)
+                step, (params, opt_state), (perm, step_keys))
             return params, opt_state, jnp.mean(losses)
 
         n_test = x_test.shape[0]
-        test_steps = max(1, n_test // bs)
+        # eval batch never exceeds the test set: with n_test < bs the old
+        # arange(bs) gather would clamp out-of-range rows to the last
+        # sample and silently double-count it
+        eval_bs = min(bs, n_test)
+        test_steps = max(1, n_test // eval_bs)
 
         def eval_loss(params, x_test, y_test):
-            idx = jnp.arange(test_steps * bs).reshape(test_steps, bs)
+            idx = jnp.arange(test_steps * eval_bs).reshape(test_steps,
+                                                           eval_bs)
 
             def step(_, i):
                 return None, batch_loss(params, x_test[i], y_test[i])
