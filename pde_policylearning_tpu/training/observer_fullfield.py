@@ -97,17 +97,55 @@ def train_fullfield_observer(model, dataset, grid, *, plane_indexs,
 
     arrays = (v_plane, v_field, U, V, W, dpdx, re)
     history = {"total": [], "data": [], "pde": []}
+    # fetch metrics only every `log_every` epochs: on a remote-attached
+    # TPU every device_get is a sync point (and a chance to hit the axon
+    # lost-RPC wedge); un-fetched epochs stay fully async
+    log_every = 10 if n_epochs >= 30 else 1
+    pending = []
     for epoch in range(n_epochs):
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
         params, opt_state, metrics = run_epoch(params, opt_state, sub,
                                                arrays)
-        metrics = jax.device_get(metrics)
-        for name, vals in zip(["total", "data", "pde"], metrics):
-            history[name].append(float(np.mean(vals)))
+        pending.append(metrics)
+        if (epoch + 1) % log_every and epoch + 1 != n_epochs:
+            continue
+        for m in jax.device_get(pending):
+            for name, vals in zip(["total", "data", "pde"], m):
+                history[name].append(float(np.mean(vals)))
+        pending = []
         if verbose:
             print(f"epoch {epoch + 1}/{n_epochs}: total "
                   f"{history['total'][-1]:.4f} data "
                   f"{history['data'][-1]:.4f} pde {history['pde'][-1]:.4f} "
                   f"({(time.perf_counter() - t0):.2f}s)")
     return params, history
+
+
+def eval_fullfield_observer(model, params, dataset, batch_size=4):
+    """Held-out decoded data rel-L2 (the eval half of the reference's
+    FullFieldNSDataset branch, run_pde_observers.py:244-280)."""
+    v_plane = jnp.asarray(dataset.v_plane, jnp.float32)
+    v_field = jnp.asarray(dataset.v_field, jnp.float32)
+    re = jnp.full((v_plane.shape[0],), float(dataset.re), jnp.float32)
+    norm = dataset.bound_v_norm
+
+    @jax.jit
+    def rel_l2(vp, vf, reb):
+        x = jnp.moveaxis(vp, 1, -1)[..., None]
+        pred = jnp.moveaxis(model.apply({"params": params}, x, reb), -1, 1)
+        pred_dec = norm.decode(pred)
+        target_dec = norm.decode(vf)
+        b = pred.shape[0]
+        return jnp.sum(
+            jnp.linalg.norm(pred_dec.reshape(b, -1)
+                            - target_dec.reshape(b, -1), axis=1)
+            / (jnp.linalg.norm(target_dec.reshape(b, -1), axis=1) + 1e-12))
+
+    N = v_plane.shape[0]
+    total = 0.0
+    for i in range(0, N, batch_size):
+        total += float(rel_l2(v_plane[i:i + batch_size],
+                              v_field[i:i + batch_size],
+                              re[i:i + batch_size]))
+    return total / N

@@ -73,9 +73,12 @@ def policy_model_policy(env):
     """Online-adapted zero-init PolicyModel2D through a full-field PINO
     observer (trained by run_pde_observers.py main_fullfield if its
     checkpoint exists; random-init otherwise, recorded as such)."""
+    # reference-scale model (run_pde_observers.py:104-107): modes [12]*4,
+    # layers [64]*5, fc_dim 128 — must match configs/fullfield_pi.yaml
     obs = models.PINObserverFullField(
-        plane_num=3, modes1=(8, 8, 8, 8), modes2=(8, 8, 8, 8),
-        modes3=(1, 1, 1, 1), layers=(16,) * 5, fc_dim=64, in_dim=1)
+        plane_num=3, modes1=(12,) * 4, modes2=(12,) * 4,
+        modes3=(12,) * 4, layers=(64,) * 5, fc_dim=128, in_dim=1,
+        pad_ratio=(0.0, 0.0625))
     x0 = jnp.zeros((1, env.grid.Nx, env.grid.Nz, 1, 1))
     re0 = jnp.ones((1,))
     obs_ckpt = "outputs/planes_channel180_minchan_fullfield-pi.msgpack"
@@ -86,14 +89,28 @@ def policy_model_policy(env):
     else:
         obs_params = tmpl
         tag = "randinit-fullfield"
-    pol = models.PolicyModel2D(modes1=(8, 8, 8, 8), modes2=(8, 8, 8, 8),
-                               modes3=(1, 1, 1, 1), layers=(16,) * 5,
-                               fc_dim=64, in_dim=1)
+    pol = models.PolicyModel2D(modes1=(12,) * 4, modes2=(12,) * 4,
+                               modes3=(12,) * 4, layers=(64,) * 5,
+                               fc_dim=128, in_dim=1)
     pol_params = pol.init(jax.random.PRNGKey(1), x0, re0)["params"]
     pol_params = pol.zero_init_params(pol_params)
     return make_optimal_policy_observer(
         env.grid, observer_model=obs, observer_params=obs_params,
         policy_model=pol, policy_params=pol_params, detect_plane=25), tag
+
+
+def ddpg_policy(env):
+    """Trained on-device DDPG actor (beyond the reference, which leaves
+    its DDPG demo unwired; main_ddpg.py --channel trains it)."""
+    from pde_policylearning_tpu.control.ddpg import (Actor,
+                                                     make_ddpg_policy)
+    ckpt = "outputs/ddpg_channel_actor.msgpack"
+    Nx, Nz = env.grid.Nx, env.grid.Nz
+    actor = Actor(Nx * Nz, max_action=0.01)
+    tmpl = jax.jit(actor.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, Nx * Nz)))["params"]
+    params = load_msgpack(ckpt, tmpl)
+    return make_ddpg_policy(params, Nx, Nz)
 
 
 def run(name):
@@ -108,6 +125,8 @@ def run(name):
         pol = make_policy(name, env.grid, detect_plane=25, rand_scale=1.0)
     elif name in ("fno", "rno", "transformer"):
         pol = observer_policy(name, env, ds)
+    elif name == "ddpg":
+        pol = ddpg_policy(env)
     elif name == "optimal-policy-observer":
         pol, tag = policy_model_policy(env)
     t0 = time.time()
@@ -124,6 +143,8 @@ def run(name):
 def main():
     names = ["unmanipulated", "gt", "rand", "fno", "rno", "transformer",
              "optimal-policy-observer"]
+    if os.path.exists("outputs/ddpg_channel_actor.msgpack"):
+        names.append("ddpg")
     results = {}
     for n in names:
         try:

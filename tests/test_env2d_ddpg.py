@@ -70,3 +70,39 @@ def test_ddpg_learns_something():
         s = s2
     cl, al = agent.update(mem.sample(rng, 16))
     assert np.isfinite(cl) and np.isfinite(al)
+
+
+@pytest.mark.slow
+def test_ddpg_on_device_channel(monkeypatch):
+    """Fully on-device DDPG loop (rollout + replay + updates in one scan)
+    through the fused kernels in interpret mode — tiny budget."""
+    from pde_policylearning_tpu.control.ddpg import (
+        train_ddpg_channel_on_device)
+    from pde_policylearning_tpu.envs import channel_flow as cf
+    from pde_policylearning_tpu.envs import rk3_pallas as rk
+
+    monkeypatch.setattr(rk, "INTERPRET", True)
+    monkeypatch.setattr(cf, "RK3_BACKEND", "fused")
+    ap, metrics = train_ddpg_channel_on_device(
+        n_steps=3, warmup=2, buffer_size=8, batch_size=2, hidden=16,
+        verbose=False)
+    assert np.isfinite(metrics["shear"]).all()
+    assert np.isfinite(metrics["critic_loss"]).all()
+
+
+def test_ddpg_policy_contract():
+    """Trained-actor closed-loop policy: zero-net-flux, clipped, (Nx,Nz)."""
+    import jax
+    from pde_policylearning_tpu.control.ddpg import (Actor,
+                                                     make_ddpg_policy)
+    actor = Actor(32 * 32, max_action=0.01, hidden=16)
+    ap = actor.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 32 * 32)))["params"]
+    pol = make_ddpg_policy(ap, 32, 32, hidden=16)
+    key = jax.random.PRNGKey(1)
+    p2 = jax.random.normal(key, (32, 32)) * 0.01
+    op1, op2 = pol(None, p2, None)
+    assert op2.shape == (32, 32)
+    assert float(jnp.abs(op2).max()) <= 0.01 + 1e-6
+    assert abs(float(jnp.mean(op2))) < 1e-8
+    assert float(jnp.abs(op1).max()) == 0.0
