@@ -241,20 +241,13 @@ def apply_boundary_condition(U, V, W, Vw1, Vw2):
     return U, V, W
 
 
-# OPT-IN only: the fused RHS kernels win the rk3-only microbenchmark
-# (0.558 -> 0.487 ms/step) but REGRESS the full closed loop ~9x (bench
-# 1945 -> 209 steps/s) — the many pallas calls force operand-layout
-# copies through the surrounding graph.  Kept for future whole-substage
-# fusion work; never enabled automatically.
-RHS_BACKEND = "unfused"
-
-
 def compute_rhs(grid: ChannelGrid, U, V, W, dPdx):
-    """Momentum RHS — XLA path by default; set RHS_BACKEND='fused' to route
-    unbatched f32 states through envs/rhs_pallas.py (see note above)."""
-    if RHS_BACKEND == "fused" and U.ndim == 3 and U.dtype == jnp.float32:
-        from .rhs_pallas import compute_rhs_fused
-        return compute_rhs_fused(grid, U, V, W, dPdx)
+    """Momentum RHS (XLA path; the TPU rollout fast path lives in
+    envs/rk3_pallas.py, which fuses whole substages.  A piecewise-fused
+    RHS-only kernel variant was tried in round 2 and REGRESSED the closed
+    loop ~9x — operand-layout copies around every pallas call; it was
+    removed in round 4 per the one-alternate-path-per-op policy,
+    NOTES_r4)."""
     return _compute_rhs_unfused(grid, U, V, W, dPdx)
 
 

@@ -113,36 +113,3 @@ def test_fused_poisson_matches_unfused():
         cf._poisson_solve_unfused(grid, r) ** 2))(rhs)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
                                rtol=5e-3, atol=1e-5)
-
-
-@pytest.mark.slow
-def test_fused_rhs_matches_unfused():
-    """envs/rhs_pallas: the fused momentum-RHS kernels must match the XLA
-    path (forward + delegated VJP), interpret mode."""
-    from functools import partial as _partial
-    from pde_policylearning_tpu.envs import channel_flow as cf
-    from pde_policylearning_tpu.envs import rhs_pallas as rp
-
-    grid = cf.make_channel_grid(Nx=8, Ny=17, Nz=8, dtype=jnp.float32)
-    st = cf.init_state(grid, key=jax.random.PRNGKey(4), noise=0.02)
-    ref = cf._compute_rhs_unfused(grid, st.U, st.V, st.W, st.dPdx)
-    out = rp._rhs_impl(grid, st.U, st.V, st.W, st.dPdx, interpret=True)
-    for a, b in zip(out, ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-7)
-
-    orig = rp._rhs_impl
-    rp._rhs_impl = _partial(orig, interpret=True)
-    try:
-        g = jax.grad(lambda v: sum(jnp.sum(x ** 2) for x in
-                                   rp.compute_rhs_fused(grid, st.U, v,
-                                                        st.W, st.dPdx)))(
-            st.V)
-    finally:
-        rp._rhs_impl = orig
-    g2 = jax.grad(lambda v: sum(jnp.sum(x ** 2) for x in
-                                cf._compute_rhs_unfused(grid, st.U, v,
-                                                        st.W, st.dPdx)))(
-        st.V)
-    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-4,
-                               atol=1e-6)
