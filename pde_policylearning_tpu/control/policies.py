@@ -50,22 +50,27 @@ def make_optimal_policy_observer(grid, *, observer_model, observer_params,
         # (X, Z) or kernel-layout flat (X*Z,) -> (1, X, Z, 1, 1) time slab
         return plane.reshape(Nx, Nz)[None, :, :, None, None]
 
-    def objective(pp, p2_in, opV2_in):
+    def objective(pp, obs_p, p2_in, opV2_in):
         res = policy_model.apply({"params": pp}, p2_in, re_arr)
-        pred = observer_model.apply({"params": observer_params},
+        pred = observer_model.apply({"params": obs_p},
                                     opV2_in + res, re_arr)
         return (jnp.linalg.norm(pred)
                 + reg_weight * jnp.linalg.norm(opV2_in + res))
 
     def step_fn(carry, state, p2, key):
-        pp, opt_state = carry
+        # The frozen observer params ride in the CARRY, not the closure:
+        # a closure constant is embedded in the compiled executable, and at
+        # the reference fullfield scale (906 MB) the remote-compile payload
+        # breaks the axon tunnel.  Carry leaves enter closed_loop_chunk as
+        # jit arguments (CLAUDE.md invariant).
+        pp, opt_state, obs_p = carry
         opV1, opV2_gt = cf.gt_control(state, detect_plane)
         p2_in = to_field(p2.astype(jnp.float32))
         opV2_in = to_field(opV2_gt.astype(jnp.float32))
 
         def body(i, c):
             pp, s = c
-            g = jax.grad(objective)(pp, p2_in, opV2_in)
+            g = jax.grad(objective)(pp, obs_p, p2_in, opV2_in)
             up, s = opt.update(g, s)
             return (optax.apply_updates(pp, up), s)
 
@@ -73,9 +78,10 @@ def make_optimal_policy_observer(grid, *, observer_model, observer_params,
                                           (pp, opt_state))
         res = policy_model.apply({"params": pp}, p2_in, re_arr)
         opV2 = opV2_gt + res.reshape(opV2_gt.shape).astype(opV2_gt.dtype)
-        return opV1, opV2, (pp, opt_state)
+        return opV1, opV2, (pp, opt_state, obs_p)
 
-    return StatefulPolicy((policy_params, opt.init(policy_params)), step_fn)
+    return StatefulPolicy(
+        (policy_params, opt.init(policy_params), observer_params), step_fn)
 
 
 def make_policy(name: str, grid, *, detect_plane: int = 25,

@@ -161,10 +161,20 @@ def truncated_dft_conv_nd(
     order = len(half_modes)
     spatial = x.shape[1:1 + order]
     in_dtype = x.dtype
-    if in_dtype not in (jnp.float32, jnp.float64):
-        x = x.astype(jnp.float32)
-    dt = x.dtype
-    hp = jax.lax.Precision.HIGHEST  # transforms mimic FFT accuracy
+    if in_dtype == jnp.bfloat16:
+        # bf16-native path: the step is HBM-bound (NOTES_r4 probe: 26.9 GB
+        # logical bytes/iter at 65% of the v5e roofline), so keeping the
+        # transform chain in bf16 halves the dominant traffic.  MXU bf16
+        # matmuls accumulate in f32; each chained transform re-rounds to
+        # bf16 (~0.4% relative/stage).  Master params, losses, and the PDE
+        # residual stay f32 (train_ns casts only the forward).
+        dt = jnp.bfloat16
+        hp = None
+    else:
+        if in_dtype not in (jnp.float32, jnp.float64):
+            x = x.astype(jnp.float32)
+        dt = x.dtype
+        hp = jax.lax.Precision.HIGHEST  # transforms mimic FFT accuracy
 
     mats = [_dft_mats(spatial[k], half_modes[k], k == order - 1, dt)
             for k in range(order)]

@@ -130,10 +130,14 @@ def eval_fullfield_observer(model, params, dataset, batch_size=4):
     re = jnp.full((v_plane.shape[0],), float(dataset.re), jnp.float32)
     norm = dataset.bound_v_norm
 
+    # params ride as a jit ARGUMENT: closing over them embeds the whole
+    # tree in the compile payload (906 MB for the reference-scale
+    # fullfield model) — the remote_compile request then takes tens of
+    # minutes and tends to drop the tunnel (the round-4 eval failures)
     @jax.jit
-    def rel_l2(vp, vf, reb):
+    def rel_l2(p, vp, vf, reb):
         x = jnp.moveaxis(vp, 1, -1)[..., None]
-        pred = jnp.moveaxis(model.apply({"params": params}, x, reb), -1, 1)
+        pred = jnp.moveaxis(model.apply({"params": p}, x, reb), -1, 1)
         pred_dec = norm.decode(pred)
         target_dec = norm.decode(vf)
         b = pred.shape[0]
@@ -143,9 +147,19 @@ def eval_fullfield_observer(model, params, dataset, batch_size=4):
             / (jnp.linalg.norm(target_dec.reshape(b, -1), axis=1) + 1e-12))
 
     N = v_plane.shape[0]
-    total = 0.0
-    for i in range(0, N, batch_size):
-        total += float(rel_l2(v_plane[i:i + batch_size],
-                              v_field[i:i + batch_size],
-                              re[i:i + batch_size]))
-    return total / N
+    # ONE device fetch for the whole eval, and the FULL loop (compile
+    # included) retried on transient tunnel failures: per-batch float()
+    # fetches are each a sync point and a lost-RPC hazard on a
+    # remote-attached TPU, and remote_compile itself can drop the
+    # connection (three round-4 fullfield evals died on tunnel outages)
+    for attempt in range(3):
+        try:
+            totals = [rel_l2(params, v_plane[i:i + batch_size],
+                             v_field[i:i + batch_size],
+                             re[i:i + batch_size])
+                      for i in range(0, N, batch_size)]
+            return float(jnp.sum(jnp.stack(totals))) / N
+        except jax.errors.JaxRuntimeError:
+            if attempt == 2:
+                raise
+            time.sleep(60.0)

@@ -71,14 +71,15 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
             jax.tree.leaves(opt_state))
 
     def loss_fn(p, ab, ub, reb):
+        u0 = ab[..., 0, -1]  # initial vorticity channel at t=0 (full f32)
         if compute_dtype is not None:
             p = jax.tree.map(lambda w: w.astype(compute_dtype), p)
             ab = ab.astype(compute_dtype)
+            reb = reb.astype(compute_dtype)  # mixed dtypes re-promote to f32
         out = model.apply({"params": p}, ab, reb).squeeze(-1)  # (B,S,S,T)
         out = out.astype(ub.dtype)
         data_loss = lp(out, ub)
-        u0 = ab[..., 0, -1]  # initial vorticity channel at t=0
-        visc = 1.0 / reb
+        visc = 1.0 / reb.astype(ub.dtype)  # f32 even under bf16 compute
         loss_ic, loss_f = pino_loss_3d(out, u0, forcing, visc, t_interval)
         total = (xy_weight * data_loss + ic_weight * loss_ic
                  + f_weight * loss_f)

@@ -34,6 +34,9 @@ T = int(os.environ.get("PROBE_T", 17))
 W = int(os.environ.get("PROBE_W", 64))
 N_SCAN = int(os.environ.get("PROBE_N", 50))
 MODES = (8, 8, 8) if S >= 16 else (3, 3, 3)
+# PROBE_DTYPE=bf16: run the forward (params + activations) in bf16 — the
+# train_ns compute_dtype=bf16 configuration (losses/residual stay f32)
+CDT = jnp.bfloat16 if os.environ.get("PROBE_DTYPE") == "bf16" else None
 
 
 def timed(fn, tag, n=N_SCAN, args=()):
@@ -68,9 +71,17 @@ def main():
     s0 = opt.init(params)
 
     def loss_fn(p, ab):
-        o = model.apply({"params": p}, ab, re).squeeze(-1)
-        dl = lp(o, ab[..., 3])
-        ic, f = pino_loss_3d(o, ab[..., 0, 3], forcing, 1.0 / re, 1.0)
+        u0 = ab[..., 0, 3]
+        tgt = ab[..., 3]
+        reb = re
+        if CDT is not None:
+            p = jax.tree.map(lambda w: w.astype(CDT), p)
+            ab = ab.astype(CDT)
+            reb = re.astype(CDT)
+        o = model.apply({"params": p}, ab, reb).squeeze(-1)
+        o = o.astype(jnp.float32)
+        dl = lp(o, tgt)
+        ic, f = pino_loss_3d(o, u0, forcing, 1.0 / re, 1.0)
         return 5 * dl + ic + f
 
     # ---- full train iter (current default backend = dft via 'auto')
@@ -115,8 +126,15 @@ def main():
         pino_mod.fourier.spectral_conv_nd = patched
         try:
             train_iter_time(f"train iter [{backend}]")
-            timed(lambda ab, p: jnp.sum(model.apply({"params": p}, ab, re)),
-                  f"  forward only [{backend}]", args=(params,))
+
+            def fwd_only(ab, p):
+                reb = re
+                if CDT is not None:
+                    p = jax.tree.map(lambda w: w.astype(CDT), p)
+                    ab, reb = ab.astype(CDT), re.astype(CDT)
+                return jnp.sum(model.apply({"params": p}, ab, reb)
+                               .astype(jnp.float32))
+            timed(fwd_only, f"  forward only [{backend}]", args=(params,))
             timed(lambda ab, p: jax.grad(loss_fn)(p, ab)["fc1"]["kernel"].sum(),
                   f"  value+grad [{backend}]", args=(params,))
         finally:

@@ -111,6 +111,40 @@ def test_dft_backend_bias():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_dft_backend_bf16_native():
+    """bf16 input takes the bf16-native transform path (HBM-bound PINO
+    step, NOTES_r4): output is bf16, tracks the f32 path to bf16 rounding,
+    and gradients stay finite and close."""
+    half_modes = (3, 3)
+    ws = _weights(jax.random.PRNGKey(12), 2, (4, 4, *half_modes))
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 12, 12, 4),
+                          jnp.float32)
+    ref = fourier.spectral_conv_nd(x, ws, half_modes, backend="dft")
+    out = fourier.spectral_conv_nd(x.astype(jnp.bfloat16), ws, half_modes,
+                                   backend="dft")
+    assert out.dtype == jnp.bfloat16
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=0, atol=5e-2 * scale)
+
+    def loss(ws):
+        o = fourier.spectral_conv_nd(x.astype(jnp.bfloat16), ws, half_modes,
+                                     backend="dft")
+        return jnp.mean(o.astype(jnp.float32) ** 2)
+
+    def loss32(ws):
+        o = fourier.spectral_conv_nd(x, ws, half_modes, backend="dft")
+        return jnp.mean(o ** 2)
+
+    g16 = jax.grad(loss)(ws)
+    g32 = jax.grad(loss32)(ws)
+    for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.isfinite(a).all()
+        denom = np.abs(b).max() + 1e-12
+        assert np.abs(a - b).max() / denom < 6e-2
+
+
 def test_spectral_backend_env_knob(monkeypatch):
     """PDE_SPECTRAL_BACKEND flips 'auto' call sites to the named backend
     when eligible, and leaves ineligible (separable) calls on the default
