@@ -70,10 +70,15 @@ def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
             _, p2_next = cf.boundary_pressures(grid, st)
             info = cf.step_metrics(grid, st, p2_next)
             v_plane = st.V[:, -detect_plane, :]
+        # Stack the 9 scoreboard scalars into ONE (9,) vector here so the
+        # scan writes a single ys row per step instead of 9 separate
+        # per-key scalar updates (9 tiny HBM transactions per step).
+        info_vec = jnp.stack([info[k] for k in _SCOREBOARD_KEYS])
         if collect_planes:
-            out = (info, p2_next, opV2.reshape(grid.Nx, grid.Nz), v_plane)
+            out = (info_vec, p2_next, opV2.reshape(grid.Nx, grid.Nz),
+                   v_plane)
         else:
-            out = (info,)
+            out = (info_vec,)
         return (st, p2_next, pc), out
 
     keys = jax.random.split(key, n_steps)
@@ -82,7 +87,7 @@ def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
     if fused:
         from ..envs import rk3_pallas as rk
         state = rk.kstate_to_state(grid, state, in_dtype)
-    info_mat = jnp.stack([outs[0][k] for k in _SCOREBOARD_KEYS])
+    info_mat = outs[0].T  # (n, 9) scan rows -> (9, n) series
     return state, p2, policy_carry, (info_mat,) + outs[1:]
 
 

@@ -524,8 +524,17 @@ def _solve_correct_call(grid, div, U, V, W, op1, op2, interpret=False):
     kernel = partial(_solve_correct_kernel, n, F, Nz, C, grid.dx, grid.dz,
                      grid.refine_steps)
     shp = lambda r: jax.ShapeDtypeStruct((r, C), f32)
+    # Raised scoped-VMEM budget: the kernel's operand stack (both 4.5 MB
+    # Kronecker transforms + solve constants + 3 state fields) sits right
+    # at the 16 MB default — it fits in a bare control chunk but hits
+    # 17.7 MB when the surrounding graph forces unshared operand copies
+    # (observed compiling the adaptive-policy chunk: AOT 'out of memory in
+    # memory space vmem', drag_study optimal-policy-observer row).  v5e
+    # has 128 MB physical VMEM; same knob as _BATCH_PARAMS.
     return pl.pallas_call(kernel, out_shape=(shp(Ny + 1), shp(Ny),
                                              shp(Ny + 1)),
+                          compiler_params=pltpu.CompilerParams(
+                              vmem_limit_bytes=32 * 1024 * 1024),
                           interpret=interpret)(
         div, U, V, W, op1, op2,
         jnp.asarray(T2), jnp.asarray(Ti2),

@@ -84,7 +84,9 @@ def policy_model_policy(env):
     obs_ckpt = "outputs/planes_channel180_minchan_fullfield-pi.msgpack"
     tmpl = jax.jit(obs.init)(jax.random.PRNGKey(0), x0, re0)["params"]
     if os.path.exists(obs_ckpt):
-        obs_params = load_msgpack(obs_ckpt, tmpl)
+        # one bulk device_put: msgpack gives host numpy leaves, and host
+        # args re-upload ~906 MB through the tunnel at every dispatch
+        obs_params = jax.device_put(load_msgpack(obs_ckpt, tmpl))
         tag = "trained-fullfield"
     else:
         obs_params = tmpl
@@ -92,8 +94,10 @@ def policy_model_policy(env):
     pol = models.PolicyModel2D(modes1=(12,) * 4, modes2=(12,) * 4,
                                modes3=(12,) * 4, layers=(64,) * 5,
                                fc_dim=128, in_dim=1)
-    pol_params = pol.init(jax.random.PRNGKey(1), x0, re0)["params"]
-    pol_params = pol.zero_init_params(pol_params)
+    # jitted init: eager init on axon dispatches thousands of per-op RPCs
+    # at this scale and can crash the remote worker (CLAUDE.md invariant)
+    pol_params = jax.jit(pol.init)(jax.random.PRNGKey(1), x0, re0)["params"]
+    pol_params = jax.jit(pol.zero_init_params)(pol_params)
     return make_optimal_policy_observer(
         env.grid, observer_model=obs, observer_params=obs_params,
         policy_model=pol, policy_params=pol_params, detect_plane=25), tag
