@@ -42,6 +42,10 @@ _SCOREBOARD_KEYS = (
 def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
                       key, collect_planes: bool = False, policy_carry=None,
                       detect_plane: int = 25):
+    # Chain the key INSIDE the jit: the caller passes the running key and
+    # gets the advanced one back, so the host loop issues zero eager
+    # jax.random ops (each eager op is a tunnel RPC on axon, NOTES_r4).
+    key, sub = jax.random.split(key)
     stateful = policy_carry is not None
     # Fused TPU path: carry the state in the Pallas kernels' (y, x*z)
     # layout across the WHOLE scan — per-step layout flips around the
@@ -81,14 +85,14 @@ def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
             out = (info_vec,)
         return (st, p2_next, pc), out
 
-    keys = jax.random.split(key, n_steps)
+    keys = jax.random.split(sub, n_steps)
     (state, p2, policy_carry), outs = jax.lax.scan(
         body, (state, p2, policy_carry), keys)
     if fused:
         from ..envs import rk3_pallas as rk
         state = rk.kstate_to_state(grid, state, in_dtype)
     info_mat = outs[0].T  # (n, 9) scan rows -> (9, n) series
-    return state, p2, policy_carry, (info_mat,) + outs[1:]
+    return state, p2, policy_carry, key, (info_mat,) + outs[1:]
 
 
 def run_closed_loop(env, policy_fn, n_steps: int,
@@ -108,8 +112,15 @@ def run_closed_loop(env, policy_fn, n_steps: int,
     key = jax.random.PRNGKey(seed)
     # jit the one-off observation: eagerly it dispatches dozens of ops (or
     # an eager pallas call + layout transposes) through the remote tunnel,
-    # costing seconds per run_closed_loop call on axon
-    _, p2 = _boundary_pressures_jit(env.grid, env.state)
+    # costing seconds per run_closed_loop call on axon.  Reuse the p2 the
+    # previous run_closed_loop computed for this exact state object (states
+    # are immutable pytrees, replaced wholesale) — back-to-back runs (bench
+    # medians) otherwise pay a redundant pressure solve + dispatch RPC each.
+    cached = getattr(env, "_p2_cache", None)
+    if cached is not None and cached[0] is env.state:
+        p2 = cached[1]
+    else:
+        _, p2 = _boundary_pressures_jit(env.grid, env.state)
     all_infos = []
     all_p2, all_op = [], []
     done = 0
@@ -122,9 +133,8 @@ def run_closed_loop(env, policy_fn, n_steps: int,
     all_v = []
     while done < n_steps:
         n = min(log_interval, n_steps - done)
-        key, sub = jax.random.split(key)
-        env.state, p2, policy_carry, outs = closed_loop_chunk(
-            env.grid, env.state, p2, policy_fn_inner, n, sub,
+        env.state, p2, policy_carry, key, outs = closed_loop_chunk(
+            env.grid, env.state, p2, policy_fn_inner, n, key,
             collect_planes=collect_planes, policy_carry=policy_carry,
             detect_plane=detect_plane)
         outs = jax.device_get(outs)
@@ -147,6 +157,7 @@ def run_closed_loop(env, policy_fn, n_steps: int,
         if on_chunk is not None:
             on_chunk(done, infos)
 
+    env._p2_cache = (env.state, p2)
     series = {k: np.concatenate([c[k] for c in all_infos])
               for k in all_infos[0]}
     if env.info_init:

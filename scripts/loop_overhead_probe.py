@@ -61,7 +61,7 @@ state0 = env.state
 
 
 def chunk_full():
-    _, _, _, outs = looplib.closed_loop_chunk(
+    _, _, _, _k, outs = looplib.closed_loop_chunk(
         env.grid, state0, p2_0, policy, N, key)
     np.asarray(outs[0])
 
@@ -72,7 +72,7 @@ report("chunk + (9,n) fetch", t_chunk)
 
 # 3. same chunk, blocking only on the carried state (no scoreboard fetch)
 def chunk_state_only():
-    st, _, _, _ = looplib.closed_loop_chunk(
+    st, _, _, _k, _ = looplib.closed_loop_chunk(
         env.grid, state0, p2_0, policy, N, key)
     float(jnp.sum(jax.tree.leaves(st)[0]))
 

@@ -34,7 +34,7 @@ if STAGE_MAX >= 2:
     print("stage 2: 1-step chunk compile+run", flush=True)
     t0 = time.time()
     _, p2 = looplib._boundary_pressures_jit(env.grid, env.state)
-    st, p2o, pc, outs = looplib.closed_loop_chunk(
+    st, p2o, pc, _k, outs = looplib.closed_loop_chunk(
         env.grid, env.state, p2, pol.step_fn, 1, jax.random.PRNGKey(0),
         policy_carry=pol.init_carry)
     mat = np.asarray(outs[0])
@@ -47,7 +47,7 @@ if STAGE_MAX >= 3:
     # device (policy params + Adam moments + observer params)
     del st, p2o, pc, outs
     t0 = time.time()
-    st, p2o, pc, outs = looplib.closed_loop_chunk(
+    st, p2o, pc, _k, outs = looplib.closed_loop_chunk(
         env.grid, env.state, p2, pol.step_fn, 200, jax.random.PRNGKey(1),
         policy_carry=pol.init_carry)
     mat = np.asarray(outs[0])
