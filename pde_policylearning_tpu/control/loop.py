@@ -42,6 +42,14 @@ _SCOREBOARD_KEYS = (
 def closed_loop_chunk(grid, state, p2, policy_fn: Callable, n_steps: int,
                       key, collect_planes: bool = False, policy_carry=None,
                       detect_plane: int = 25):
+    """Run `n_steps` control steps in one jitted scan.
+
+    Returns a 5-tuple ``(state, p2, policy_carry, key, outs)``.  Round 4
+    inserted the advanced PRNG ``key`` before ``outs`` (previously a
+    4-tuple): callers that unpacked 4 values must add the key slot.
+    ``outs[0]`` is the (9, n_steps) scoreboard matrix in _SCOREBOARD_KEYS
+    order; with ``collect_planes`` the p2/opV2/v_plane series follow.
+    """
     # Chain the key INSIDE the jit: the caller passes the running key and
     # gets the advanced one back, so the host loop issues zero eager
     # jax.random ops (each eager op is a tunnel RPC on axon, NOTES_r4).
@@ -116,10 +124,18 @@ def run_closed_loop(env, policy_fn, n_steps: int,
     # previous run_closed_loop computed for this exact state object (states
     # are immutable pytrees, replaced wholesale) — back-to-back runs (bench
     # medians) otherwise pay a redundant pressure solve + dispatch RPC each.
+    # Identity-caching contract: valid only because (a) state leaves are jax
+    # arrays, never mutated in place — env.state is replaced wholesale by
+    # reset/add_random_noise/this loop — and (b) an env's grid is fixed for
+    # its lifetime.  A future mutable-state or grid-swapping env must drop
+    # the cache instead of inheriting it.
     cached = getattr(env, "_p2_cache", None)
     if cached is not None and cached[0] is env.state:
         p2 = cached[1]
     else:
+        # release a stale entry promptly: it pins the previous run's full
+        # state pytree (U/V/W) + p2 in device HBM until the next success
+        env._p2_cache = None
         _, p2 = _boundary_pressures_jit(env.grid, env.state)
     all_infos = []
     all_p2, all_op = [], []

@@ -84,6 +84,55 @@ def make_optimal_policy_observer(grid, *, observer_model, observer_params,
         (policy_params, opt.init(policy_params), observer_params), step_fn)
 
 
+def make_fullfield_optimal_observer(grid, *, observer_model, observer_params,
+                                    bound_v_norm, detect_plane: int = 25,
+                                    re: float = 178.19, opt_lr: float = 1e-3,
+                                    opt_steps: int = 10,
+                                    reg_weight: float = 0.1
+                                    ) -> StatefulPolicy:
+    """'optimal-observer' through the FULL-FIELD observer
+    (run_control.py:186-224): each control step runs `opt_steps` Adam
+    updates directly on the raw actuation opV2, minimizing
+    ||decode(observer(encode(opV2), re))|| + reg*||opV2||, starting from
+    the gt (opposition) action, then mean-subtracts (zero net flux,
+    run_control.py:223).  The frozen observer params ride in the scan
+    CARRY, not the closure — at the reference fullfield scale the params
+    are ~230 MB and a closure constant blows up the remote-compile payload
+    (same invariant as make_optimal_policy_observer)."""
+    opt = optax.adam(opt_lr)
+    re_arr = jnp.asarray([re], jnp.float32)
+    Nx, Nz = grid.Nx, grid.Nz
+
+    def objective(opV2, obs_p):
+        # the reference optimizes the RAW opV2 and encodes inside the loop
+        # (run_control.py:200-216): gradients flow through the encode
+        x = bound_v_norm.encode(opV2)
+        x = x[None, :, :, None, None]                   # (1, X, Z, T=1, 1)
+        pred = observer_model.apply({"params": obs_p}, x, re_arr)
+        pred_dec = bound_v_norm.decode(jnp.moveaxis(pred, -1, 1))
+        return (jnp.linalg.norm(pred_dec)
+                + reg_weight * jnp.linalg.norm(opV2))
+
+    def step_fn(carry, state, p2, key):
+        obs_p = carry
+        opV1, opV2_gt = cf.gt_control(state, detect_plane)
+        v0 = opV2_gt.reshape(Nx, Nz).astype(jnp.float32)
+        opt_state = opt.init(v0)
+
+        def body(i, c):
+            v, s = c
+            g = jax.grad(objective)(v, obs_p)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(v, up), s)
+
+        v, _ = jax.lax.fori_loop(0, opt_steps, body, (v0, opt_state))
+        v = v - jnp.mean(v)
+        opV2 = v.reshape(opV2_gt.shape).astype(opV2_gt.dtype)
+        return opV1, opV2, carry
+
+    return StatefulPolicy(observer_params, step_fn)
+
+
 def make_policy(name: str, grid, *, detect_plane: int = 25,
                 model=None, params=None, p_norm=None, v_norm=None,
                 rand_scale: float = 1.0, model_timestep: int = 1,

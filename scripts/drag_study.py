@@ -69,12 +69,10 @@ def observer_policy(name, env, ds):
                        model_timestep=2, action_scale=0.3, action_clip=0.01)
 
 
-def policy_model_policy(env):
-    """Online-adapted zero-init PolicyModel2D through a full-field PINO
-    observer (trained by run_pde_observers.py main_fullfield if its
-    checkpoint exists; random-init otherwise, recorded as such)."""
-    # reference-scale model (run_pde_observers.py:104-107): modes [12]*4,
-    # layers [64]*5, fc_dim 128 — must match configs/fullfield_pi.yaml
+def fullfield_observer(env):
+    """Reference-scale full-field PI observer + checkpoint if trained
+    (run_pde_observers.py:104-107: modes [12]*4, layers [64]*5, fc_dim 128
+    — must match configs/fullfield_pi.yaml)."""
     obs = models.PINObserverFullField(
         plane_num=3, modes1=(12,) * 4, modes2=(12,) * 4,
         modes3=(12,) * 4, layers=(64,) * 5, fc_dim=128, in_dim=1,
@@ -91,6 +89,35 @@ def policy_model_policy(env):
     else:
         obs_params = tmpl
         tag = "randinit-fullfield"
+    return obs, obs_params, tag
+
+
+def optimal_observer_policy(env):
+    """'optimal-observer' (reference run_control.py:186-224): inner Adam
+    directly on opV2 through the frozen full-field observer."""
+    from pde_policylearning_tpu.control import \
+        make_fullfield_optimal_observer
+    from pde_policylearning_tpu.ops.normalization import \
+        NormalizerGivenMeanStd
+    obs, obs_params, tag = fullfield_observer(env)
+    meta = np.load("data/planes_channel180_fullfield/metadata.npy",
+                   allow_pickle=True).tolist()
+    v_mean = np.asarray(meta["V_field"]["mean"])
+    v_std = np.asarray(meta["V_field"]["std"])
+    norm = NormalizerGivenMeanStd(jnp.asarray(v_mean[:, -1, :]),
+                                  jnp.asarray(v_std[:, -1, :]))
+    return make_fullfield_optimal_observer(
+        env.grid, observer_model=obs, observer_params=obs_params,
+        bound_v_norm=norm, detect_plane=25), tag
+
+
+def policy_model_policy(env):
+    """Online-adapted zero-init PolicyModel2D through a full-field PINO
+    observer (trained by run_pde_observers.py main_fullfield if its
+    checkpoint exists; random-init otherwise, recorded as such)."""
+    obs, obs_params, tag = fullfield_observer(env)
+    x0 = jnp.zeros((1, env.grid.Nx, env.grid.Nz, 1, 1))
+    re0 = jnp.ones((1,))
     pol = models.PolicyModel2D(modes1=(12,) * 4, modes2=(12,) * 4,
                                modes3=(12,) * 4, layers=(64,) * 5,
                                fc_dim=128, in_dim=1)
@@ -133,6 +160,8 @@ def run(name):
         pol = ddpg_policy(env)
     elif name == "optimal-policy-observer":
         pol, tag = policy_model_policy(env)
+    elif name == "optimal-observer":
+        pol, tag = optimal_observer_policy(env)
     t0 = time.time()
     res = run_closed_loop(env, pol, n_steps=N_STEPS, log_interval=2000,
                           detect_plane=25, div_guard=1e9, verbose=False)
@@ -146,7 +175,7 @@ def run(name):
 
 def main():
     names = ["unmanipulated", "gt", "rand", "fno", "rno", "transformer",
-             "optimal-policy-observer"]
+             "optimal-policy-observer", "optimal-observer"]
     if os.path.exists("outputs/ddpg_channel_actor.msgpack"):
         names.append("ddpg")
     results = {}
