@@ -174,6 +174,63 @@ def test_batched_kernels_match_per_env(setup):
         assert rel(p2b[:, sl], p2s) < 1e-5
 
 
+def test_env_step_full_matches_staged(setup, monkeypatch):
+    """Kernel D (whole env step in ONE pallas dispatch) == the staged
+    3x(A+B)+C path: state, p2, and every scoreboard metric."""
+    grid, st, op1, op2 = setup
+    import pde_policylearning_tpu.envs.rk3_pallas as rkm
+    monkeypatch.setattr(rkm, "INTERPRET", True)
+    kst0 = rkm.state_to_kstate(st)
+    kst_ref, p2_ref, info_ref = rkm.env_step_k(grid, kst0, op1, op2)
+    kst, p2, info = rkm.env_step_full_k(grid, kst0, op1, op2)
+    assert rel(kst.U, kst_ref.U) < 2e-6
+    assert rel(kst.V, kst_ref.V) < 2e-5
+    assert rel(kst.W, kst_ref.W) < 2e-5
+    assert rel(p2, p2_ref) < 2e-5
+    np.testing.assert_allclose(float(kst.dPdx), float(kst_ref.dPdx),
+                               rtol=1e-4)
+    for k in info_ref:
+        atol = 1e-4 if "divergence" in k else 1e-6
+        np.testing.assert_allclose(
+            float(info[k]), float(info_ref[k]), rtol=5e-3, atol=atol,
+            err_msg=k)
+
+
+@pytest.mark.slow
+def test_env_step_full_kb_matches_per_env(setup):
+    """Batched kernel D (grid over envs) == per-env staged kernels, env by
+    env (interpret mode)."""
+    grid, _, op1, op2 = setup
+    B = 3
+    C = grid.Nx * grid.Nz
+    states = cf.init_batched_states(grid, B, jax.random.PRNGKey(7))
+    kst = rk.batch_states(states)
+    ops1 = jnp.stack([op1 * (i + 1) for i in range(B)])
+    ops2 = jnp.stack([op2 * (i + 1) for i in range(B)])
+    op1p = ops1.reshape(B, C).reshape(1, B * C)
+    op2p = ops2.reshape(B, C).reshape(1, B * C)
+
+    Ub, Vb, Wb, dPb, pb = rk.env_step_full_kb(
+        grid, B, kst.U, kst.V, kst.W, kst.dPdx, kst.meanU0, op1p, op2p,
+        interpret=True)
+
+    for b in range(B):
+        st = jax.tree.map(lambda a: a[b], states)
+        ku, kv, kw = rk.state_to_k(st)
+        o1 = ops1[b].reshape(1, C)
+        o2 = ops2[b].reshape(1, C)
+        Us, Vs, Ws, dPs = rk.rk3_step_k(grid, ku, kv, kw, st.dPdx,
+                                        st.meanU0, o1, o2, interpret=True)
+        sl = slice(b * C, (b + 1) * C)
+        assert rel(Ub[:, sl], Us) < 1e-6
+        assert rel(Vb[:, sl], Vs) < 1e-5
+        assert rel(Wb[:, sl], Ws) < 1e-5
+        np.testing.assert_allclose(float(dPb[b]), float(dPs), rtol=1e-4)
+        _, p2s = rk.boundary_pressures_k(grid, Us, Vs, Ws, dPs,
+                                         interpret=True)
+        assert rel(pb[1:2, sl], p2s) < 1e-5
+
+
 @pytest.mark.parametrize("policy", [
     "gt", pytest.param("rand", marks=pytest.mark.slow)])
 def test_batched_rollout_packed_matches_vmap(setup, policy, monkeypatch):
