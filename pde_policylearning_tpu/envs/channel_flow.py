@@ -817,10 +817,18 @@ def rollout(grid: ChannelGrid, state: ChannelState, n_steps: int,
             C = grid.Nx * grid.Nz
             op1 = jnp.reshape(opV1, (1, C))
             op2 = jnp.reshape(opV2, (1, C))
-            U, V, W, dPdx = rk.rk3_step_k(grid, st.U, st.V, st.W,
-                                          st.dPdx, st.meanU0, op1, op2)
+            if rk.FULLSTEP:
+                U, V, W, dP1, p = rk.env_step_full_kb(
+                    grid, 1, st.U, st.V, st.W,
+                    jnp.reshape(st.dPdx, (1,)),
+                    jnp.reshape(st.meanU0, (1,)), op1, op2)
+                dPdx = jnp.reshape(dP1, st.dPdx.shape)
+                p2 = p[1:2]
+            else:
+                U, V, W, dPdx = rk.rk3_step_k(grid, st.U, st.V, st.W,
+                                              st.dPdx, st.meanU0, op1, op2)
+                _, p2 = rk.boundary_pressures_k(grid, U, V, W, dPdx)
             st = st.replace(U=U, V=V, W=W, dPdx=dPdx)
-            _, p2 = rk.boundary_pressures_k(grid, U, V, W, dPdx)
             p2 = p2.reshape(grid.Nx, grid.Nz)
             v_plane = V[V.shape[0] - detect_plane].reshape(grid.Nx,
                                                            grid.Nz)
@@ -890,10 +898,17 @@ def batched_rollout(grid: ChannelGrid, states: ChannelState, n_steps: int,
             else:
                 op1 = jnp.zeros((1, B * C), st.U.dtype)
                 op2 = op1
-            U, V, W, dPdx = rk.rk3_step_kb(grid, B, st.U, st.V, st.W,
-                                           st.dPdx, st.meanU0, op1, op2)
+            if rk.FULLSTEP:
+                U, V, W, dPdx, p = rk.env_step_full_kb(
+                    grid, B, st.U, st.V, st.W, st.dPdx, st.meanU0,
+                    op1, op2)
+                p2 = p[1:2]
+            else:
+                U, V, W, dPdx = rk.rk3_step_kb(grid, B, st.U, st.V, st.W,
+                                               st.dPdx, st.meanU0, op1,
+                                               op2)
+                _, p2 = rk.boundary_pressures_kb(grid, B, U, V, W, dPdx)
             st = st.replace(U=U, V=V, W=W, dPdx=dPdx)
-            _, p2 = rk.boundary_pressures_kb(grid, B, U, V, W, dPdx)
             v_plane = V[V.shape[0] - detect_plane][None]     # (1, B*C)
             out = (p2, v_plane, dPdx)
             if collect_fields:

@@ -63,6 +63,12 @@ _HP = {"highest": jax.lax.Precision.HIGHEST,
 # of the packed batched rollout path, tests/test_rk3_fused.py).
 INTERPRET = False
 
+# Whole-step kernel D (one pallas dispatch per env step) opt-in: flips
+# env_step_k and the rollout/batched_rollout scan bodies from the staged
+# 3x(A+B)+C path onto env_step_full_k(b).  Off until the on-chip A/B
+# (numerics + throughput) validates it; tests cover both paths.
+FULLSTEP = _os.environ.get("PDE_RK3_FULLSTEP", "0") == "1"
+
 
 # ---------------------------------------------------------------------------
 # layout helpers: (Nx, R, Nz) <-> (R, Nx*Nz)  (rows = y, x-major z-minor)
@@ -803,6 +809,8 @@ def env_step_k(grid, kstate, opV1, opV2):
     """Fused env step on a kernel-layout ChannelState: advance + boundary
     pressures + scoreboard (channel_flow.env_step equivalent).  opV1/opV2
     arrive (Nx, Nz) from the policies."""
+    if FULLSTEP:
+        return env_step_full_k(grid, kstate, opV1, opV2)
     C = grid.Nx * grid.Nz
     f32 = jnp.float32
     op1 = jnp.reshape(opV1.astype(f32), (1, C))

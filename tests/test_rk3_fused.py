@@ -231,6 +231,47 @@ def test_env_step_full_kb_matches_per_env(setup):
         assert rel(pb[1:2, sl], p2s) < 1e-5
 
 
+def test_rollout_fullstep_flag_matches_staged(monkeypatch):
+    """PDE_RK3_FULLSTEP routing: rollout and batched_rollout produce the
+    same trajectories through kernel D as through the staged kernels."""
+    grid = cf.make_channel_grid(Nx=16, Ny=33, Nz=8, dtype=jnp.float32,
+                                refine_steps=1)
+    B, T = 2, 3
+    states = cf.init_batched_states(grid, B, jax.random.PRNGKey(3))
+    monkeypatch.setattr(rk, "INTERPRET", True)
+    monkeypatch.setattr(cf, "RK3_BACKEND", "fused")
+    ref_state, ref_outs = cf.batched_rollout.__wrapped__(
+        grid, states, T, detect_plane=5, policy="gt")
+    monkeypatch.setattr(rk, "FULLSTEP", True)
+    out_state, outs = cf.batched_rollout.__wrapped__(
+        grid, states, T, detect_plane=5, policy="gt")
+    assert rel(out_state.U, ref_state.U) < 1e-5
+    assert rel(out_state.V, ref_state.V) < 1e-4
+    for a, b in zip(outs[:2], ref_outs[:2]):    # p2, v_plane series
+        assert rel(a, b) < 1e-4
+    np.testing.assert_allclose(np.asarray(outs[2]),
+                               np.asarray(ref_outs[2]), rtol=2e-4)
+
+    # single-env rollout body routing
+    st = jax.tree.map(lambda a: a[0], states)
+    monkeypatch.setattr(rk, "FULLSTEP", False)
+    s_ref, o_ref = cf.rollout(grid, st, T, detect_plane=5, policy="gt")
+    monkeypatch.setattr(rk, "FULLSTEP", True)
+    s_out, o_out = cf.rollout(grid, st, T, detect_plane=5, policy="gt")
+    assert rel(s_out.U, s_ref.U) < 1e-5
+    assert rel(o_out[0], o_ref[0]) < 1e-4
+
+    # env_step_k routing (the closed-loop chunk body)
+    kst = rk.state_to_kstate(st)
+    op = jnp.zeros((grid.Nx, grid.Nz), jnp.float32)
+    monkeypatch.setattr(rk, "FULLSTEP", False)
+    k_ref, p2_ref, i_ref = rk.env_step_k(grid, kst, op, op)
+    monkeypatch.setattr(rk, "FULLSTEP", True)
+    k_out, p2_out, i_out = rk.env_step_k(grid, kst, op, op)
+    assert rel(k_out.U, k_ref.U) < 1e-5
+    assert rel(p2_out, p2_ref) < 1e-4
+
+
 @pytest.mark.parametrize("policy", [
     "gt", pytest.param("rand", marks=pytest.mark.slow)])
 def test_batched_rollout_packed_matches_vmap(setup, policy, monkeypatch):
