@@ -77,7 +77,16 @@ def make_optimal_policy_observer(grid, *, observer_model, observer_params,
         pp, opt_state = jax.lax.fori_loop(0, opt_steps, body,
                                           (pp, opt_state))
         res = policy_model.apply({"params": pp}, p2_in, re_arr)
-        opV2 = opV2_gt + res.reshape(opV2_gt.shape).astype(opV2_gt.dtype)
+        res = res.reshape(opV2_gt.shape).astype(opV2_gt.dtype)
+        # zero-net-flux on the residual: the reference OPO branch skips
+        # the mean subtraction its sibling optimal-observer branch applies
+        # (run_control.py:223) — and with a trained observer the residual
+        # carries enough net wall flux to blow the incompressibility
+        # constraint within 200 steps (|sum div| hits the -100 metric
+        # floor; observed round 5, opo_probe stage 3).  Subtracting the
+        # residual mean preserves the gt (opposition) component exactly.
+        res = res - jnp.mean(res)
+        opV2 = opV2_gt + res
         return opV1, opV2, (pp, opt_state, obs_p)
 
     return StatefulPolicy(
