@@ -64,6 +64,9 @@ def make_optimal_policy_observer(grid, *, observer_model, observer_params,
         # breaks the axon tunnel.  Carry leaves enter closed_loop_chunk as
         # jit arguments (CLAUDE.md invariant).
         pp, opt_state, obs_p = carry
+        # the reference instantiates a FRESH Adam every control step
+        # (run_control.py:172) — moments do not persist across steps
+        opt_state = opt.init(pp)
         opV1, opV2_gt = cf.gt_control(state, detect_plane)
         p2_in = to_field(p2.astype(jnp.float32))
         opV2_in = to_field(opV2_gt.astype(jnp.float32))
