@@ -152,6 +152,7 @@ def run(name):
     env = fresh_env()
     ds = dataset() if name in ("fno", "rno", "transformer") else None
     tag = name
+    log_interval = 2000
     if name in ("unmanipulated", "gt", "rand"):
         pol = make_policy(name, env.grid, detect_plane=25, rand_scale=1.0)
     elif name in ("fno", "rno", "transformer"):
@@ -160,10 +161,18 @@ def run(name):
         pol = ddpg_policy(env)
     elif name == "optimal-policy-observer":
         pol, tag = policy_model_policy(env)
+        # gradient-through-observer chunks run ~100x longer per step than
+        # the plain rows; a 2000-step chunk is a single multi-hundred-
+        # second device execution and reproducibly crashes the axon TPU
+        # worker (round 5, twice).  250-step chunks match the proven
+        # opo_probe stage-3 dispatch size.
+        log_interval = 250
     elif name == "optimal-observer":
         pol, tag = optimal_observer_policy(env)
+        log_interval = 250
     t0 = time.time()
-    res = run_closed_loop(env, pol, n_steps=N_STEPS, log_interval=2000,
+    res = run_closed_loop(env, pol, n_steps=N_STEPS,
+                          log_interval=log_interval,
                           detect_plane=25, div_guard=1e9, verbose=False)
     shear = np.asarray(res["series"][SHEAR])
     np.savez(cache, shear=shear, tag=tag)
@@ -178,6 +187,9 @@ def main():
              "optimal-policy-observer", "optimal-observer"]
     if os.path.exists("outputs/ddpg_channel_actor.msgpack"):
         names.append("ddpg")
+    only = os.environ.get("DRAG_ONLY")
+    if only:   # targeted re-runs: DRAG_ONLY=optimal-observer,ddpg
+        names = [n for n in names if n in only.split(",")]
     results = {}
     for n in names:
         try:
