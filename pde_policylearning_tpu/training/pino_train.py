@@ -11,6 +11,7 @@ metrics fetched per chunk.
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -90,7 +91,10 @@ def train_ns(model, data, *, iterations: int = 2000, batch_size: int = 4,
                          f"accum_steps {accum_steps}")
     micro = batch_size // accum_steps
 
-    @jax.jit
+    # donate params + opt_state: each chunk's inputs are the previous
+    # chunk's outputs and are never read again — donation lets XLA reuse
+    # the buffers in place instead of holding both generations live
+    @partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(params, opt_state, keys, u, a, re):
         def step(carry, key):
             p, s = carry
