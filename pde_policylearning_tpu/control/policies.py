@@ -63,9 +63,12 @@ def make_optimal_policy_observer(grid, *, observer_model, observer_params,
         # the reference fullfield scale (906 MB) the remote-compile payload
         # breaks the axon tunnel.  Carry leaves enter closed_loop_chunk as
         # jit arguments (CLAUDE.md invariant).
-        pp, opt_state, obs_p = carry
+        pp, obs_p = carry
         # the reference instantiates a FRESH Adam every control step
-        # (run_control.py:172) — moments do not persist across steps
+        # (run_control.py:172) — moments do not persist across steps, so
+        # they are scan-local temporaries, NOT carry state: at reference
+        # scale the moments are ~1.8 GB and carrying them double-buffered
+        # is what pushed the 50k-step drag row into ResourceExhausted.
         opt_state = opt.init(pp)
         opV1, opV2_gt = cf.gt_control(state, detect_plane)
         p2_in = to_field(p2.astype(jnp.float32))
@@ -90,10 +93,9 @@ def make_optimal_policy_observer(grid, *, observer_model, observer_params,
         # residual mean preserves the gt (opposition) component exactly.
         res = res - jnp.mean(res)
         opV2 = opV2_gt + res
-        return opV1, opV2, (pp, opt_state, obs_p)
+        return opV1, opV2, (pp, obs_p)
 
-    return StatefulPolicy(
-        (policy_params, opt.init(policy_params), observer_params), step_fn)
+    return StatefulPolicy((policy_params, observer_params), step_fn)
 
 
 def make_fullfield_optimal_observer(grid, *, observer_model, observer_params,
