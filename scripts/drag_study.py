@@ -171,9 +171,14 @@ def run(name):
         pol, tag = optimal_observer_policy(env)
         log_interval = 250
     t0 = time.time()
+    # heartbeat: one line per chunk so an external babysitter can tell a
+    # healthy long row from a wedged tunnel (log-mtime staleness)
     res = run_closed_loop(env, pol, n_steps=N_STEPS,
                           log_interval=log_interval,
-                          detect_plane=25, div_guard=1e9, verbose=False)
+                          detect_plane=25, div_guard=1e9, verbose=False,
+                          on_chunk=lambda done, infos: print(
+                              f"  [{name} {done}/{N_STEPS}] shear "
+                              f"{infos[SHEAR][-1]:.4e}", flush=True))
     shear = np.asarray(res["series"][SHEAR])
     np.savez(cache, shear=shear, tag=tag)
     tail = float(np.mean(shear[len(shear) // 2:]))
