@@ -8,6 +8,14 @@ observer policies and the online-adapted PolicyModel2D
 
 Resumable: each policy's series is cached as outputs/drag_study/<name>.npz.
 
+Partial banking (round 5): the gradient rows run hours on the tunnel-flaky
+chip, so every heartbeat chunk also writes <name>.partial.npz (the longest
+self-consistent single-run series so far).  A wedge/kill therefore never
+loses a row: the partial can be promoted to the final artifact
+(DRAG_PROMOTE=row1,row2) and its tail-mean reported with the banked step
+count.  DRAG_DEADLINE=<epoch secs> makes a row stop cleanly at the wall
+and self-promote whatever it has.
+
 Usage:  python scripts/drag_study.py [n_steps]
 """
 import json
@@ -144,11 +152,24 @@ def ddpg_policy(env):
     return make_ddpg_policy(params, Nx, Nz)
 
 
+DEADLINE = float(os.environ.get("DRAG_DEADLINE", "0")) or None
+
+
+class _Deadline(Exception):
+    """Raised from the heartbeat when DRAG_DEADLINE passes: the partial
+    banked so far is promoted and reported instead of losing the row."""
+
+
+def _tail(shear):
+    return float(np.mean(shear[len(shear) // 2:]))
+
+
 def run(name):
     cache = os.path.join(OUT, f"{name}.npz")
+    partial = os.path.join(OUT, f"{name}.partial.npz")
     if os.path.exists(cache):
         d = np.load(cache)
-        return float(np.mean(d["shear"][len(d["shear"]) // 2:]))
+        return _tail(d["shear"])
     env = fresh_env()
     ds = dataset() if name in ("fno", "rno", "transformer") else None
     tag = name
@@ -171,19 +192,43 @@ def run(name):
         pol, tag = optimal_observer_policy(env)
         log_interval = 250
     t0 = time.time()
+    # a retried row starts a NEW trajectory from step 0; only overwrite the
+    # banked partial once this run is the longest self-consistent series
+    best_prev = 0
+    if os.path.exists(partial):
+        best_prev = int(np.load(partial)["steps"])
+    parts = []
+
     # heartbeat: one line per chunk so an external babysitter can tell a
-    # healthy long row from a wedged tunnel (log-mtime staleness)
-    res = run_closed_loop(env, pol, n_steps=N_STEPS,
-                          log_interval=log_interval,
-                          detect_plane=25, div_guard=1e9, verbose=False,
-                          on_chunk=lambda done, infos: print(
-                              f"  [{name} {done}/{N_STEPS}] shear "
-                              f"{infos[SHEAR][-1]:.4e}", flush=True))
-    shear = np.asarray(res["series"][SHEAR])
-    np.savez(cache, shear=shear, tag=tag)
-    tail = float(np.mean(shear[len(shear) // 2:]))
-    print(f"{name:26s} [{tag}] tail-mean shear {tail:.6e} "
-          f"({time.time() - t0:.0f}s)", flush=True)
+    # healthy long row from a wedged tunnel (log-mtime staleness); each
+    # chunk also banks the series so far (partial npz) and honours the
+    # deadline wall
+    def _cb(done, infos):
+        parts.append(np.asarray(infos[SHEAR]))
+        print(f"  [{name} {done}/{N_STEPS}] shear {infos[SHEAR][-1]:.4e}",
+              flush=True)
+        if done > best_prev:
+            np.savez(partial, shear=np.concatenate(parts), tag=tag,
+                     steps=done)
+        if DEADLINE and time.time() > DEADLINE:
+            raise _Deadline(f"{name} hit DRAG_DEADLINE at {done} steps")
+
+    try:
+        res = run_closed_loop(env, pol, n_steps=N_STEPS,
+                              log_interval=log_interval,
+                              detect_plane=25, div_guard=1e9, verbose=False,
+                              on_chunk=_cb)
+        shear = np.asarray(res["series"][SHEAR])
+        np.savez(cache, shear=shear, tag=tag, steps=len(shear))
+        if os.path.exists(partial):
+            os.remove(partial)
+    except _Deadline as e:
+        print(f"  [{name}] {e}; promoting partial", flush=True)
+        os.replace(partial, cache)
+        shear = np.load(cache)["shear"]
+    tail = _tail(shear)
+    print(f"{name:26s} [{tag}] tail-mean shear {tail:.6e} over "
+          f"{len(shear)} steps ({time.time() - t0:.0f}s)", flush=True)
     return tail
 
 
@@ -195,24 +240,37 @@ def main():
     only = os.environ.get("DRAG_ONLY")
     if only:   # targeted re-runs: DRAG_ONLY=optimal-observer,ddpg
         names = [n for n in names if n in only.split(",")]
-    results = {}
+    for n in os.environ.get("DRAG_PROMOTE", "").split(","):
+        # bank a killed row's partial as its final artifact (round end)
+        p = os.path.join(OUT, f"{n}.partial.npz")
+        if n and os.path.exists(p) and \
+                not os.path.exists(os.path.join(OUT, f"{n}.npz")):
+            os.replace(p, os.path.join(OUT, f"{n}.npz"))
+            print(f"promoted partial -> {n}.npz", flush=True)
+    results, steps = {}, {}
     for n in names:
         try:
             results[n] = run(n)
         except Exception as e:  # divergence etc.: record and continue
             print(f"{n}: FAILED — {type(e).__name__}: {e}", flush=True)
             results[n] = None
+        cache = os.path.join(OUT, f"{n}.npz")
+        if results[n] is not None and os.path.exists(cache):
+            steps[n] = len(np.load(cache)["shear"])
     base = results.get("unmanipulated")
-    print("\n| policy | tail-mean shear | vs unmanipulated |")
-    print("|---|---|---|")
+    print("\n| policy | tail-mean shear | vs unmanipulated | steps |")
+    print("|---|---|---|---|")
     for n in names:
         v = results[n]
         if v is None:
-            print(f"| {n} | diverged/failed | — |")
+            print(f"| {n} | diverged/failed | — | — |")
         elif base:
-            print(f"| {n} | {v:.3e} | {100 * (v - base) / base:+.1f}% |")
+            s = steps.get(n, N_STEPS)
+            note = f"{s}" if s >= N_STEPS else f"{s} (budget-bounded)"
+            print(f"| {n} | {v:.3e} | {100 * (v - base) / base:+.1f}% "
+                  f"| {note} |")
     with open(os.path.join(OUT, "summary.json"), "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump({"tail_mean": results, "steps": steps}, f, indent=1)
 
 
 if __name__ == "__main__":
