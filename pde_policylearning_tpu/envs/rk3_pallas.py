@@ -63,11 +63,16 @@ _HP = {"highest": jax.lax.Precision.HIGHEST,
 # of the packed batched rollout path, tests/test_rk3_fused.py).
 INTERPRET = False
 
-# Whole-step kernel D (one pallas dispatch per env step) opt-in: flips
+# Whole-step kernel D (one pallas dispatch per env step): flips
 # env_step_k and the rollout/batched_rollout scan bodies from the staged
-# 3x(A+B)+C path onto env_step_full_k(b).  Off until the on-chip A/B
-# (numerics + throughput) validates it; tests cover both paths.
-FULLSTEP = _os.environ.get("PDE_RK3_FULLSTEP", "0") == "1"
+# 3x(A+B)+C path onto env_step_full_k(b).  DEFAULT ON since the round-5
+# on-chip A/B validated it (results/logs/fullstep_probe_r5.log: 50-step
+# trajectory shear parity within 2% of the staged path, scoreboard metrics
+# rel<=5e-3; closed-loop 6515 vs 5455 steps/s single-env, 7568 vs 7002
+# aggregate at B=32 — the staged path round-trips state through HBM ~6x
+# per step, kernel D keeps it VMEM-resident).  PDE_RK3_FULLSTEP=0 restores
+# the staged path; tests cover both routings (tests/test_rk3_fused.py).
+FULLSTEP = _os.environ.get("PDE_RK3_FULLSTEP", "1") == "1"
 
 
 # ---------------------------------------------------------------------------

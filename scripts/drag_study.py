@@ -25,6 +25,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The round-5 study started on the staged RK3 kernels before kernel D
+# became the package default (rk3_pallas.FULLSTEP); pin the staged path so
+# every row of the table ran identical numerics.  Explicit env overrides
+# still win.
+os.environ.setdefault("PDE_RK3_FULLSTEP", "0")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

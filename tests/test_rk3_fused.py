@@ -99,7 +99,10 @@ def test_env_step_k_matches_env_step(setup, monkeypatch):
         _solve_correct_call, boundary_pressures_k)
     import pde_policylearning_tpu.envs.rk3_pallas as rkm
 
-    # run the pallas calls in interpret mode on CPU
+    # run the pallas calls in interpret mode on CPU; pin the staged path
+    # (this test targets it — kernel D is now the env_step_k default and
+    # has its own parity tests below)
+    monkeypatch.setattr(rkm, "FULLSTEP", False)
     monkeypatch.setattr(rkm, "_substage_call",
                         partial_interpret(rkm._substage_call))
     monkeypatch.setattr(rkm, "_solve_correct_call",
