@@ -10,8 +10,16 @@
 LOG=$1; STALE=$2; TRIES=$3; DONE_CHECK=$4; shift 4
 [ "$1" = "--" ] && shift
 
+# Persistent compile cache for the probe AND the babysat job: the probe's
+# tiny matmul costs ~80 s of remote compile cold (observed 2026-08-21,
+# racing the old 90 s timeout), so a sub-2-minute tunnel blip could never
+# pass the gate.  With the cache warm the probe is an RPC round trip.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_tpu_cache}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.3
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
+
 probe() {
-  timeout 90 python - >/dev/null 2>&1 <<'EOF'
+  timeout 150 python - >/dev/null 2>&1 <<'EOF'
 import jax, jax.numpy as jnp
 print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256, 256)))))
 EOF
