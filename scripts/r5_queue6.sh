@@ -43,20 +43,24 @@ row() {  # row <name> <max_secs>  — deadline sized from when the row STARTS
 
 log "queue6 start; $(( $(round_end) - $(date +%s) ))s to round end"
 
-# 0. wait for the full-field observer checkpoint (trained by the separate
-# babysat job this queue was launched alongside; if that died, train here)
+# 0. wait for the full-field observer train AND eval (the ckpt lands
+# before the eval; starting a row then would put two clients on the chip
+# concurrently — the TPU worker has crashed under less)
+ff_done() {
+  [ -f "$CKPT" ] && grep -q 'Held-out' results/logs/fullfield_pi_r5b.log
+}
 for i in $(seq 1 90); do
-  [ -f "$CKPT" ] && break
+  ff_done && break
   sleep 60
 done
-if [ ! -f "$CKPT" ]; then
+if ! ff_done; then
   log "fullfield ckpt still missing; training it from this queue"
   bash scripts/babysit.sh results/logs/fullfield_pi_r5b.log 480 4 \
     "[ -f $CKPT ]" -- \
     timeout 3600 python run_pde_observers.py --train_yaml configs/fullfield_pi.yaml
 fi
 [ -f "$CKPT" ] || { log "no fullfield ckpt; aborting"; exit 1; }
-log "fullfield ckpt present"
+log "fullfield train+eval done"
 
 # 1. cheap baseline rows (no dataset/ckpt needed; ~1 min each once compiled)
 row unmanipulated 1800
