@@ -1,0 +1,108 @@
+#!/bin/bash
+# Round-5 continuation queue v2 — SINGLE orchestrator for all chip work
+# (v1 = r5_queue6.sh raced its own fullfield babysitter for the chip).
+# Tunnel reality this session: up-blips of ~1-9 minutes (00:19, 01:05),
+# hours of dead air between.  So the order banks the cheapest artifacts
+# first and leans on the shared persistent compile cache so every retry
+# skips recompiles:
+#   1. cheap baseline rows (no ckpt/dataset; ~1-2 min each warm)
+#   2. full-field PI observer train+eval (~25 min continuous, prerequisite
+#      for the flagship rows; NOT resumable -> needs a real window)
+#   3. optimal-policy-observer row   (flagship, partial-banked)
+#   4. optimal-observer row          (partial-banked)
+#   5. wall-sized bf16 PINO pretrain (resumable via save_interval 500)
+#   6. extras: bench under kernel D, ddpg retrain + row
+cd /root/repo || exit 1
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_tpu_cache}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.3
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
+LOG=results/logs/drag_study_r5b.log
+QLOG=results/logs/r5_queue7.log
+log() { echo "[queue7 $(date +%H:%M:%S)] $*" >> "$QLOG"; }
+round_end() { cat /root/repo/.round_end 2>/dev/null || date -d '+4 hours' +%s; }
+CKPT=outputs/planes_channel180_minchan_fullfield-pi.msgpack
+FFLOG=results/logs/fullfield_pi_r5b.log
+
+row() {  # row <name> <max_secs> [stale_secs]
+  local NAME=$1 MAX=$2 STALE=${3:-420}
+  local NPZ=outputs/drag_study/$NAME.npz
+  [ -f "$NPZ" ] && { log "row $NAME: cached"; return 0; }
+  local NOW END DL
+  NOW=$(date +%s); END=$(round_end)
+  DL=$(( NOW + MAX ))
+  [ "$DL" -gt $(( END - 300 )) ] && DL=$(( END - 300 ))
+  if [ "$NOW" -ge "$DL" ]; then log "row $NAME: no window left"; return 1; fi
+  log "row $NAME until $(date -d @"$DL" +%H:%M:%S)"
+  bash scripts/babysit.sh "$LOG" "$STALE" 6 "[ -f $NPZ ]" -- \
+    env "DRAG_ONLY=$NAME" "DRAG_DEADLINE=$DL" \
+    timeout $(( DL - NOW + 300 )) python scripts/drag_study.py 50000
+  log "row $NAME rc=$?"
+  if [ ! -f "$NPZ" ] && [ -f "outputs/drag_study/$NAME.partial.npz" ]; then
+    DRAG_PROMOTE=$NAME DRAG_ONLY=$NAME timeout 600 \
+      python scripts/drag_study.py 50000 >> "$LOG" 2>&1
+    log "row $NAME partial promoted rc=$?"
+  fi
+}
+
+log "queue7 start; $(( $(round_end) - $(date +%s) ))s to round end"
+
+# 1. cheap baseline rows (the 50k series is also the table's denominator)
+row unmanipulated 2400 420
+row gt 1500 420
+row rand 1500 420
+
+# 2. full-field PI observer train+eval.  The data-gen phase is silent for
+# up to ~8 min on a healthy tunnel (one scan + one bulk fetch), hence the
+# 900 s staleness; the job is artifact-gated all-or-nothing (metadata.npy
+# written last), so retries are clean.
+ff_done() { [ -f "$CKPT" ] && grep -q 'Held-out' "$FFLOG"; }
+if ! ff_done; then
+  log "fullfield train+eval"
+  bash scripts/babysit.sh "$FFLOG" 900 8 \
+    "[ -f $CKPT ] && grep -q 'Held-out' $FFLOG" -- \
+    timeout 3600 python run_pde_observers.py --train_yaml configs/fullfield_pi.yaml
+  log "fullfield rc=$?"
+fi
+ff_done || { log "no fullfield ckpt; flagship rows impossible — skipping to PINO"; }
+
+# 3-4. the flagship gradient rows (only with the trained observer)
+if [ -f "$CKPT" ]; then
+  row optimal-policy-observer 7200 420
+  row optimal-observer 4800 420
+fi
+
+# 5. wall-sized bf16 PINO pretrain (VERDICT 4); resumable
+NOW=$(date +%s); R=$(( $(round_end) - NOW ))
+if [ "$R" -ge 1500 ] && [ ! -f outputs/pino-pretrain-bf16.msgpack ]; then
+  ITERS=$(( (R - 900) * 1000 / 190 ))
+  [ "$ITERS" -gt 20001 ] && ITERS=20001
+  CFG=/tmp/pino_bf16_r5b.yaml
+  sed -e "s/iterations: 20001/iterations: $ITERS/" \
+      -e "s/save_interval: 2000/save_interval: 500/" \
+      configs/pino-observer-pretrain-1s-bf16.yaml > "$CFG"
+  BLOB=outputs/pino-pretrain-bf16.msgpack.resume.npy
+  RESUME=""
+  [ -f "$BLOB" ] && RESUME="--resume $BLOB"
+  log "pino bf16: $ITERS iters $RESUME"
+  bash scripts/babysit.sh results/logs/pino_pretrain_bf16_r5b.log 600 4 \
+    "[ -f outputs/pino-pretrain-bf16.msgpack ]" -- \
+    timeout $(( R - 420 )) python train_pino.py --config "$CFG" $RESUME
+  log "pino rc=$?"
+fi
+
+# 6. extras, value order, only with leftover window
+NOW=$(date +%s); R=$(( $(round_end) - NOW ))
+if [ "$R" -ge 600 ] && [ ! -f results/logs/bench_r5_kernelD.txt ]; then
+  log "bench under kernel D"
+  timeout 480 python bench.py > results/logs/bench_r5_kernelD.txt 2>&1
+  log "bench rc=$?"
+fi
+NOW=$(date +%s); R=$(( $(round_end) - NOW ))
+if [ "$R" -ge 900 ] && [ ! -f outputs/ddpg_channel_actor.msgpack ]; then
+  log "ddpg retrain"
+  timeout $(( R - 300 )) python main_ddpg.py --channel \
+    > results/logs/ddpg_channel_r5b.log 2>&1
+  log "ddpg rc=$?"
+  row ddpg 900 420
+fi
+log "queue7 done"
