@@ -29,7 +29,7 @@ for try in $(seq 1 "$TRIES"); do
   if eval "$DONE_CHECK"; then exit 0; fi
   until probe; do
     echo "[babysit] tunnel dead $(date); waiting" >> "$LOG"
-    sleep 240
+    sleep 120
   done
   echo "[babysit] try $try: $*" >> "$LOG"
   "$@" >> "$LOG" 2>&1 &
