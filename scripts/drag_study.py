@@ -94,11 +94,20 @@ def fullfield_observer(env):
     x0 = jnp.zeros((1, env.grid.Nx, env.grid.Nz, 1, 1))
     re0 = jnp.ones((1,))
     obs_ckpt = "outputs/planes_channel180_minchan_fullfield-pi.msgpack"
+    # startup progress markers: this phase is minutes-long (906 MB ckpt
+    # read + device_put through the tunnel + jitted init) and otherwise
+    # silent, which the babysitter can't tell from a tunnel wedge
+    print("  [setup] observer init...", flush=True)
     tmpl = jax.jit(obs.init)(jax.random.PRNGKey(0), x0, re0)["params"]
     if os.path.exists(obs_ckpt):
+        print("  [setup] loading fullfield ckpt...", flush=True)
+        loaded = load_msgpack(obs_ckpt, tmpl)
+        print("  [setup] device_put...", flush=True)
         # one bulk device_put: msgpack gives host numpy leaves, and host
         # args re-upload ~906 MB through the tunnel at every dispatch
-        obs_params = jax.device_put(load_msgpack(obs_ckpt, tmpl))
+        obs_params = jax.device_put(loaded)
+        jax.block_until_ready(obs_params)
+        print("  [setup] observer params on device", flush=True)
         tag = "trained-fullfield"
     else:
         obs_params = tmpl
@@ -137,8 +146,10 @@ def policy_model_policy(env):
                                fc_dim=128, in_dim=1)
     # jitted init: eager init on axon dispatches thousands of per-op RPCs
     # at this scale and can crash the remote worker (CLAUDE.md invariant)
+    print("  [setup] policy init...", flush=True)
     pol_params = jax.jit(pol.init)(jax.random.PRNGKey(1), x0, re0)["params"]
     pol_params = jax.jit(pol.zero_init_params)(pol_params)
+    print("  [setup] policy ready; entering closed loop", flush=True)
     return make_optimal_policy_observer(
         env.grid, observer_model=obs, observer_params=obs_params,
         policy_model=pol, policy_params=pol_params, detect_plane=25), tag
